@@ -1,0 +1,176 @@
+"""DINO-style Vision Transformer frame backbone (flax).
+
+Parity target: the timm `VisionTransformer` variants the reference supports
+(`models/transformer.py:43-58`):
+  vit_small_patch{16,8}_224.dino / vit_small_patch14_dinov2 (384, 12 blocks)
+  vit_base_patch{16,8}_224.dino / vit_base_patch14_dinov2   (768, 12 blocks)
+  vit_large_patch14_dinov2 (1024, 24) / vit_giant_patch14_dinov2 (1536, 40)
+
+Feature taps replace the reference's forward-hook FeatureExtractor
+(`transformer.py:306-333`): requested block outputs (pre-final-norm, prefix
+token included) are collected during the forward pass and concatenated on the
+channel dim. The frozen/finetuned split (`ViTFrontEnd`/`ViTBackEnd`,
+`transformer.py:342-392`) maps to `num_frozen_blocks`: the front-end module
+owns patch-embed/pos-embed/blocks[:L]; the back-end owns blocks[L:] + norm +
+head.
+
+Weight import from timm checkpoints is in `models/import_torch.py`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class ViTSpec:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch: int
+    img_size: int = 224
+    mlp_ratio: float = 4.0
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+
+# name (after the reference's 'TIMM-' prefix strip) -> spec; channel counts
+# match `transformer.py:43-54`.
+VIT_SPECS = {
+    "vit_small_patch16_224.dino": ViTSpec(384, 12, 6, 16),
+    "vit_small_patch8_224.dino": ViTSpec(384, 12, 6, 8),
+    "vit_small_patch14_dinov2.lvd142m": ViTSpec(384, 12, 6, 14, img_size=518),
+    "vit_base_patch16_224.dino": ViTSpec(768, 12, 12, 16),
+    "vit_base_patch8_224.dino": ViTSpec(768, 12, 12, 8),
+    "vit_base_patch14_dinov2.lvd142m": ViTSpec(768, 12, 12, 14, img_size=518),
+    "vit_large_patch14_dinov2.lvd142m": ViTSpec(1024, 24, 16, 14, img_size=518),
+    "vit_giant_patch14_dinov2.lvd142m": ViTSpec(1536, 40, 24, 14, img_size=518),
+}
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, kernel_init=_trunc02, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim)
+        attn = nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(self.dim, kernel_init=_trunc02, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + ViTAttention(self.dim, self.num_heads, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, kernel_init=_trunc02, name="mlp_fc2")(y)
+        return x + y
+
+
+class ViTFrontEnd(nn.Module):
+    """Patch embed + cls/pos + frozen front blocks (`transformer.py:342-361`).
+
+    Input NHWC image batch. Two modes:
+    - partial split (`include_norm=False`, num_blocks = L < depth): returns
+      the raw token stream (B, 1+N, C) for the trainable back-end.
+    - fully frozen (`include_norm=True`, num_blocks = depth): plays the role
+      of the reference's FeatureExtractor-wrapped whole model
+      (`transformer.py:93-99`): returns (concat of tapped block outputs or
+      None, final-norm CLS features).
+    """
+
+    spec: ViTSpec
+    num_blocks: int  # how many leading blocks run here (L, or depth if fully frozen)
+    tap_blocks: Tuple[int, ...] = ()
+    include_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.spec
+        B = x.shape[0]
+        x = nn.Conv(s.embed_dim, (s.patch, s.patch), strides=(s.patch, s.patch),
+                    padding="VALID", name="patch_embed")(x)
+        x = x.reshape(B, -1, s.embed_dim)
+        cls = self.param("cls_token", _trunc02, (1, 1, s.embed_dim))
+        pos = self.param("pos_embed", _trunc02, (1, 1 + s.num_patches, s.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (B, 1, s.embed_dim)), x], axis=1)
+        x = x + pos.astype(x.dtype)
+        taps = []
+        for i in range(self.num_blocks):
+            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio, name=f"block{i}")(x)
+            if self.include_norm and i in self.tap_blocks:
+                taps.append(x)
+        if not self.include_norm:
+            return x
+        normed = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
+        feats = jnp.concatenate(taps, axis=2) if taps else None
+        return feats, cls_out
+
+
+class ViTBackEnd(nn.Module):
+    """Trailing blocks + final norm (`transformer.py:364-392`), with feature
+    taps: returns (concat of tapped block outputs (B, 1+N, C*k), normed CLS
+    (B, C)). `tap_blocks` are *global* block indices (>= num_front_blocks);
+    empty taps -> the final block output is the only feature."""
+
+    spec: ViTSpec
+    num_front_blocks: int
+    tap_blocks: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.spec
+        taps = []
+        for i in range(self.num_front_blocks, s.depth):
+            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio, name=f"block{i}")(x)
+            if i in self.tap_blocks:
+                taps.append(x)
+        normed = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
+        feats = jnp.concatenate(taps, axis=2) if taps else x
+        return feats, cls_out
+
+
+def parse_smart_feats(smart_feats, default_block: int) -> Tuple[int, ...]:
+    """Parse SMART_FEATS ("3,7,11" | "11" | int | None) into block indices
+    (`transformer.py:74-90`). None -> (default_block,)."""
+    if smart_feats is None:
+        return (default_block,)
+    text = str(smart_feats)
+    parts = text.split(",") if "," in text else [text]
+    return tuple(int(p) for p in parts)
