@@ -1,12 +1,19 @@
 """Test harness: force an 8-device virtual CPU mesh so distributed behaviour
 (shard_map / pjit DP, psum loss means, BN stat sync, gather-based eval) is
-exercised without TPU hardware — SURVEY.md §4 test plan item (c)."""
+exercised without TPU hardware — SURVEY.md §4 test plan item (c).
+
+Note: the environment may pin JAX_PLATFORMS to a TPU plugin via
+sitecustomize; `jax.config.update` takes precedence, so tests always run on
+the virtual CPU mesh (fast, deterministic, 8 devices)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
