@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Generate a synthetic Pouring-format dataset (mp4 or .npy frame stores +
+pickle index) for micro end-to-end runs and tests — the stand-in for the
+reference's real-data debug jobs (`make_job.py --micro`, SURVEY.md §4).
+
+Videos are procedural: a moving bright square whose vertical position encodes
+progress, with `num_phases` contiguous phase segments as frame labels — so
+downstream tasks (tau, retrieval, probe, progression) have real structure to
+learn.
+
+Usage: python tools/make_synthetic_data.py --out /tmp/data/pouring \
+           --num_train 8 --num_val 4 --min_len 40 --max_len 80 --size 64
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from video_rep_learning_tpu.data.decode import encode_video  # noqa: E402
+
+
+def make_video(rng, seq_len, h, w):
+    frames = np.zeros((seq_len, h, w, 3), np.uint8)
+    bg = rng.randint(0, 60, size=3)
+    sq = rng.randint(150, 255, size=3)
+    side = max(4, h // 6)
+    for t in range(seq_len):
+        frames[t] = bg
+        prog = t / max(1, seq_len - 1)
+        y = int(prog * (h - side))
+        x = int((0.3 + 0.4 * np.sin(prog * 3.1)) * (w - side))
+        frames[t, y:y + side, x:x + side] = sq
+        # time-varying texture so frames are distinguishable
+        frames[t, :2, :, :] = (t * 7) % 255
+    return frames
+
+
+def make_split(out_dir, split, n, rng, args):
+    entries = []
+    os.makedirs(os.path.join(out_dir, "videos"), exist_ok=True)
+    for i in range(n):
+        seq_len = rng.randint(args.min_len, args.max_len + 1)
+        frames = make_video(rng, seq_len, args.size, args.size)
+        rel = os.path.join("videos", f"{split}_{i}.{args.format}")
+        encode_video(os.path.join(out_dir, rel), frames, fps=25.0)
+        bounds = np.sort(rng.choice(
+            np.arange(1, seq_len), size=args.num_phases - 1, replace=False))
+        labels = np.zeros(seq_len, np.int64)
+        for k, b in enumerate(bounds):
+            labels[b:] = k + 1
+        entries.append({
+            "id": i,
+            "name": f"{split}_{i}",
+            "video_file": rel,
+            "frame_label": labels,
+            "seq_len": seq_len,
+            "height": args.size,
+            "width": args.size,
+        })
+    with open(os.path.join(out_dir, f"{split}.pkl"), "wb") as f:
+        pickle.dump(entries, f)
+    return entries
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_train", type=int, default=8)
+    p.add_argument("--num_val", type=int, default=4)
+    p.add_argument("--min_len", type=int, default=40)
+    p.add_argument("--max_len", type=int, default=80)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--num_phases", type=int, default=4)
+    p.add_argument("--format", choices=["mp4", "npy"], default="mp4")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rng = np.random.RandomState(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    make_split(args.out, "train", args.num_train, rng, args)
+    make_split(args.out, "val", args.num_val, rng, args)
+    print(f"synthetic dataset written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
