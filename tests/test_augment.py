@@ -101,12 +101,23 @@ def test_ssl_augment_shapes_and_determinism():
 
 
 def test_batched_two_view_augment():
-    videos = (np.random.RandomState(0).rand(2, 2, 3, 3, 48, 48) * 255).astype(np.uint8)
-    fn = A.make_ssl_batch_augment(A.AugmentParams(image_size=32))
+    videos = (np.random.RandomState(0).rand(2, 2, 3, 48, 48, 3) * 255).astype(np.uint8)
+    fn = jax.jit(A.make_ssl_batch_augment(A.AugmentParams(image_size=32)))
     out = np.asarray(fn(jax.random.key(0), jnp.asarray(videos)))
-    assert out.shape == (2, 2, 3, 3, 32, 32)
+    assert out.shape == (2, 2, 3, 32, 32, 3)
     # views of the same item must receive different augmentation draws
     assert not np.allclose(out[0, 0], out[0, 1])
+
+    # padded canvas: true dims restrict the crop to the valid region
+    geo_fn = jax.jit(A.make_ssl_batch_augment(A.AugmentParams(
+        image_size=32, jitter_prob=0.0, blur_prob=0.0, gray_prob=0.0)))
+    canvas = np.zeros((1, 2, 3, 64, 64, 3), np.uint8)
+    canvas[:, :, :, :40, :40, :] = 200
+    for seed in range(5):
+        out = np.asarray(geo_fn(jax.random.key(seed), jnp.asarray(canvas),
+                                jnp.asarray([[40.0, 40.0]])))
+        # crop stays in the 200-intensity region; black padding would be ~-2.1
+        assert out.min() > 0.5
 
 
 def test_rrc_box_distribution():

@@ -373,11 +373,15 @@ class CARLModel(nn.Module):
     def __call__(self, x, num_frames: Optional[int] = None, video_masks=None,
                  project: bool = False, classification: bool = False,
                  train: bool = False, backbone_warmup_active: bool = False):
+        """x: (BV, T, 3, H, W) (reference NCHW contract) or (BV, T, H, W, 3)
+        (the pipeline's native NHWC) — detected by channel position."""
         s = self.spec
         BV, T = x.shape[0], x.shape[1]
         num_frames = num_frames or T
-        # NCHW (reference contract) -> NHWC frames
-        frames = x.reshape((BV * T,) + x.shape[2:]).transpose(0, 2, 3, 1)
+        frames = x.reshape((BV * T,) + x.shape[2:])
+        channels_last = frames.shape[-1] == 3 and frames.shape[1] != 3
+        if not channels_last:
+            frames = frames.transpose(0, 2, 3, 1)
         feats, cls_emb = self._backbone_features(frames, train)
         feats = feats.reshape((BV, T) + feats.shape[1:])
 

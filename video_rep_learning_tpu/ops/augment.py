@@ -345,24 +345,22 @@ def supervised_augment(key, video, aug_cfg, image_size: int = 224):
 
 
 def make_ssl_batch_augment(params: AugmentParams):
-    """Batched two-view augmentation: (key, videos (B, V, T, C, H, W) uint8 or
-    float[0,1], dims (B, 2) true (h, w)) -> (B, V, T, C, S, S) normalized
-    float32. Mirrors `train.py:39-53` (independent params per batch item per
-    view)."""
+    """Batched two-view augmentation: (key, videos (B, V, T, H, W, 3) uint8 or
+    float[0,1], dims (B, 2) true (h, w) inside the canvas) ->
+    (B, V, T, S, S, 3) normalized float32, NHWC end-to-end (XLA:TPU's native
+    layout). Mirrors `train.py:39-53` (independent params per batch item per
+    view). Intended to be called INSIDE the jitted train step so it fuses."""
 
-    def one_view(key, video_chw, hw):
-        video = jnp.moveaxis(video_chw, 1, -1)  # (T, H, W, C)
-        out = ssl_augment(key, video, params, dims=(hw[0], hw[1]))
-        return jnp.moveaxis(out, -1, 1)  # (T, C, S, S)
+    def one_view(key, video, hw):
+        return ssl_augment(key, video, params, dims=(hw[0], hw[1]))
 
-    @jax.jit
     def batch_fn(key, videos, dims=None):
         B, V = videos.shape[0], videos.shape[1]
         keys = jax.random.split(key, B * V).reshape((B, V) + key.shape)
         if videos.dtype == jnp.uint8:
             videos = videos.astype(jnp.float32) / 255.0
         if dims is None:
-            dims = jnp.tile(jnp.asarray(videos.shape[-2:], jnp.float32), (B, 1))
+            dims = jnp.tile(jnp.asarray(videos.shape[3:5], jnp.float32), (B, 1))
         vdims = jnp.broadcast_to(dims[:, None, :], (B, V, 2))
         return jax.vmap(jax.vmap(one_view))(keys, videos, vdims)
 

@@ -1,0 +1,72 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP runtime
+(`utils/distributed.py`, `train.py:259-286`): a 1-D `jax.sharding.Mesh` over
+all local+remote devices with the global batch sharded on the 'data' axis.
+Under jit's global-view semantics every cross-batch reduction (loss means,
+BatchNorm batch stats, SCL cross-batch negatives) lowers to XLA collectives
+over ICI automatically — there is no user-level communication library to
+mirror.
+
+Gradient averaging: the loss is computed over the *global* batch, so d(loss)
+already equals the DDP-averaged gradient (`train.py:285-286`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_axis_size(mesh: Mesh, batch_size: int) -> int:
+    """Largest divisor of batch_size that fits the mesh (a global batch of 2
+    on an 8-device mesh uses 2 devices; the rest idle rather than erroring)."""
+    return math.gcd(batch_size, mesh.devices.size)
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """device_put every array in the batch with the leading dim sharded on
+    'data'; non-arrays (names) pass through."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            spec = P("data") if v.ndim >= 1 and v.shape[0] % mesh.devices.size == 0 \
+                else P()
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (`jax.distributed.initialize`), the analogue of
+    `torch.distributed.init_process_group` (`train.py:261-262`). No-op for
+    single-process runs."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_root_proc() -> bool:
+    return jax.process_index() == 0

@@ -1,0 +1,317 @@
+"""The jit-compiled training loop.
+
+Parity targets (`train.py:57-228`): per-epoch loop with on-device two-view
+augmentation fused into the step, loss via the algo registry, grad clipping,
+per-epoch LR schedule, NaN-zeroed loss logging, per-epoch val pass, periodic
+checkpoint + downstream evaluation, and the reference's timing-marker
+telemetry (marker 0 = data wait, 1 = H2D, 2 = fused step; `train.py:75-79,
+98-107,119-135,157-178`).
+
+TPU-first: ONE jit-compiled function per training step — augmentation,
+backbone, loss, backward, optimizer — so XLA fuses host-side nothing; the
+global batch is sharded over the 'data' mesh axis (pjit semantics) which
+makes gradient averaging, loss means, SyncBN statistics, and SCL cross-batch
+negatives automatic XLA collectives (no NCCL mirror, SURVEY.md §5).
+bf16 compute under USE_AMP (no GradScaler needed — fp32 master params and
+fp32 loss math keep it stable, documented divergence from `train.py:109-133`).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..algos import get_algo
+from ..config import ConfigNode
+from ..data import construct_dataloader
+from ..logging_utils import get_logger
+from ..models import build_model
+from ..ops.augment import (AugmentParams, eval_augment,
+                           make_ssl_batch_augment, supervised_augment)
+from ..parallel.mesh import create_mesh, is_root_proc, replicate, shard_batch
+from .checkpoint import load_checkpoint, load_pretrained_params, save_checkpoint
+from .optimizer import (learning_rate_for_epoch, make_optimizer, merge_params,
+                        split_params)
+
+logger = get_logger(__name__)
+
+
+def _nan_to_zero(tree):
+    return jax.tree_util.tree_map(
+        lambda v: jnp.where(jnp.isnan(v), 0.0, v), tree)
+
+
+class Trainer:
+    """Owns model/algo/optimizer/loaders and the compiled step functions."""
+
+    def __init__(self, cfg: ConfigNode, summary_writer=None, no_eval: bool = False):
+        self.cfg = cfg
+        self.mesh = create_mesh()
+        self.model = build_model(cfg)
+        self.algo = get_algo(cfg)
+        self.tx = make_optimizer(cfg)
+        self.summary_writer = summary_writer
+        self.no_eval = no_eval
+
+        self.train_loader, self.train_emb_loader = construct_dataloader(
+            cfg, "train", no_eval=no_eval)
+        if not no_eval:
+            self.val_loader, self.val_emb_loader = construct_dataloader(cfg, "val")
+        else:
+            self.val_loader = self.val_emb_loader = None
+
+        aug = AugmentParams(image_size=cfg.IMAGE_SIZE,
+                            strength=cfg.AUGMENTATION.STRENGTH)
+        self._ssl_augment = make_ssl_batch_augment(aug)
+        self.state: Optional[Dict] = None
+        self.start_epoch = 0
+        self._train_step = None
+        self._val_step = None
+        self._base_key = jax.random.key(cfg.RNG_SEED)
+
+    # -- state ------------------------------------------------------------
+
+    def _dummy_batch_videos(self):
+        cfg = self.cfg
+        T = cfg.TRAIN.NUM_FRAMES * cfg.DATA.NUM_CONTEXTS
+        if "tcn" in cfg.TRAINING_ALGO:
+            pass  # samplers already fold tcn doubling into num_frames
+        BV = cfg.TRAIN.BATCH_SIZE * (2 if cfg.SSL else 1)
+        S = cfg.IMAGE_SIZE
+        return jnp.zeros((BV, T, S, S, 3), jnp.float32)
+
+    def init_state(self):
+        cfg = self.cfg
+        x = self._dummy_batch_videos()
+        T = x.shape[1]
+        masks = jnp.ones((x.shape[0], 1, T), jnp.float32)
+        wants_classifier = cfg.TRAINING_ALGO == "classification"
+        project = bool(cfg.MODEL.PROJECTION)
+
+        def init_all(mdl, x, masks):
+            out = mdl(x, cfg.TRAIN.NUM_FRAMES, video_masks=masks, project=project)
+            if wants_classifier:
+                out = mdl(x, cfg.TRAIN.NUM_FRAMES, video_masks=masks,
+                          classification=True)
+            return out
+
+        rngs = {"params": jax.random.key(cfg.RNG_SEED),
+                "dropout": jax.random.key(cfg.RNG_SEED + 1)}
+        variables = jax.jit(partial(self.model.init, method=init_all))(rngs, x, masks)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        if cfg.MODEL.PRETRAINED_CHECKPOINT:
+            restored = load_pretrained_params(
+                cfg.MODEL.PRETRAINED_CHECKPOINT,
+                {"params": params, "batch_stats": batch_stats})
+            params = restored["params"]
+            batch_stats = restored.get("batch_stats", batch_stats)
+
+        trainable, frozen = split_params(params, cfg)
+        opt_state = self.tx.init(trainable)
+        state = {"trainable": trainable, "frozen": frozen,
+                 "batch_stats": batch_stats, "opt_state": opt_state}
+
+        restored, start_epoch = load_checkpoint(cfg.LOGDIR, state)
+        if restored is not None:
+            state = restored
+        self.state = replicate(self.mesh, state)
+        self.start_epoch = start_epoch
+        return self.state
+
+    @property
+    def params(self):
+        return merge_params(self.state["trainable"], self.state["frozen"])
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.state["batch_stats"]}
+
+    # -- compiled steps ---------------------------------------------------
+
+    def _augment_batch(self, key, batch):
+        """On-device augmentation inside the step (`train.py:39-53`)."""
+        cfg = self.cfg
+        if cfg.SSL:
+            videos = self._ssl_augment(key, batch["videos"], batch.get("dims"))
+        else:
+            B = batch["videos"].shape[0]
+            keys = jax.random.split(key, B)
+            vids = batch["videos"]
+            if vids.dtype == jnp.uint8:
+                vids = vids.astype(jnp.float32) / 255.0
+            dims = batch.get("dims")
+
+            def one(k, v, hw):
+                # supervised recipe ignores canvas dims for photometrics;
+                # geometric ops use true extent
+                out = supervised_augment(k, v, cfg.AUGMENTATION, cfg.IMAGE_SIZE)
+                return out
+
+            videos = jax.vmap(one)(keys, vids,
+                                   dims if dims is not None else jnp.zeros((B, 2)))
+        return videos
+
+    def build_train_step(self):
+        cfg = self.cfg
+        model, algo, tx = self.model, self.algo, self.tx
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+        def train_step(state, batch, key, warmup_active, lr):
+            k_aug, k_drop = jax.random.split(key)
+            videos = self._augment_batch(k_aug, batch)
+            step_batch = dict(batch, videos=videos)
+
+            def loss_fn(trainable):
+                params = merge_params(trainable, state["frozen"])
+                variables = {"params": params,
+                             "batch_stats": state["batch_stats"]}
+                loss_dict, updates = algo.compute_loss(
+                    model, variables, step_batch, train=True,
+                    rngs={"dropout": k_drop},
+                    backbone_warmup_active=warmup_active)
+                return loss_dict["loss"], (loss_dict, updates)
+
+            (loss, (loss_dict, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["trainable"])
+
+            opt_state = state["opt_state"]
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams,
+                             "learning_rate": jnp.asarray(lr, jnp.float32)})
+            up, opt_state = tx.update(grads, opt_state, state["trainable"])
+            trainable = optax.apply_updates(state["trainable"], up)
+
+            new_state = {"trainable": trainable, "frozen": state["frozen"],
+                         "batch_stats": updates.get("batch_stats",
+                                                    state["batch_stats"]),
+                         "opt_state": opt_state}
+            return new_state, _nan_to_zero(loss_dict)
+
+        return train_step
+
+    def build_val_step(self):
+        model, algo = self.model, self.algo
+
+        @jax.jit
+        def val_step(state, batch, key):
+            videos = self._augment_batch(key, batch)
+            step_batch = dict(batch, videos=videos)
+            params = merge_params(state["trainable"], state["frozen"])
+            variables = {"params": params, "batch_stats": state["batch_stats"]}
+            loss_dict, _ = algo.compute_loss(model, variables, step_batch,
+                                             train=False)
+            return _nan_to_zero(loss_dict)
+
+        return val_step
+
+    # -- epochs -----------------------------------------------------------
+
+    def _device_batch(self, batch):
+        batch = {k: v for k, v in batch.items() if k != "names"}
+        return shard_batch(self.mesh, batch)
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+        self.train_loader.set_epoch(epoch)
+        lr = learning_rate_for_epoch(cfg, epoch)
+
+        warmup_active = False
+        if cfg.TRAIN.BACKBONE_WARMUP is not None:
+            if cfg.MODEL.EMBEDDER_MODEL.FUSION_TYPE != "smart":
+                raise ValueError("BACKBONE_WARMUP requires smart fusion "
+                                 "(`train.py:81-85`)")
+            warmup_active = epoch < cfg.TRAIN.BACKBONE_WARMUP
+
+        data_size = len(self.train_loader)
+        total_loss: Dict[str, float] = {}
+        tmt = {i: 0.0 for i in range(10)}
+        tmc = 0
+        t1 = time.time()
+        for cur_iter, batch in enumerate(self.train_loader):
+            tmc += 1
+            tmt[0] += time.time() - t1
+            t1 = time.time()
+            names = batch.get("names")
+            dev_batch = self._device_batch(batch)
+            tmt[1] += time.time() - t1
+            t1 = time.time()
+
+            key = jax.random.fold_in(self._base_key, epoch * 100_000 + cur_iter)
+            self.state, loss_dict = self._train_step(
+                self.state, dev_batch, key, warmup_active, lr)
+            loss_dict = jax.device_get(loss_dict)
+            tmt[2] += time.time() - t1
+            t1 = time.time()
+
+            for k, v in loss_dict.items():
+                total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
+            if cur_iter % cfg.LOGGING.REPORT_INTERVAL == 0:
+                logger.info("iter %d, training loss: %.3f",
+                            data_size * epoch + cur_iter,
+                            float(loss_dict["loss"]))
+            tmt[5] += time.time() - t1
+            t1 = time.time()
+
+        for i in range(10):
+            if tmt[i] > 0.0:
+                print("marker %i: %f" % (i, tmt[i] / max(tmc, 1)))
+        print("loops: %i" % tmc)
+
+        if self.summary_writer is not None:
+            self.summary_writer.add_scalar("train/learning_rate", lr, epoch)
+            for k, v in total_loss.items():
+                self.summary_writer.add_scalar(f"train/{k}", v, epoch)
+        logger.info("epoch %d, train loss: %.3f", epoch, total_loss.get("loss", 0.0))
+        return total_loss
+
+    def val_one_epoch(self, epoch: int) -> Dict[str, float]:
+        if self._val_step is None:
+            self._val_step = self.build_val_step()
+        data_size = len(self.val_loader)
+        total_loss: Dict[str, float] = {}
+        for cur_iter, batch in enumerate(self.val_loader):
+            dev_batch = self._device_batch(batch)
+            key = jax.random.fold_in(self._base_key, 10_000_000 + cur_iter)
+            loss_dict = jax.device_get(self._val_step(self.state, dev_batch, key))
+            for k, v in loss_dict.items():
+                total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
+        if self.summary_writer is not None:
+            for k, v in total_loss.items():
+                self.summary_writer.add_scalar(f"val/{k}", v, epoch)
+        logger.info("epoch %d, val loss: %.3f", epoch, total_loss.get("loss", 0.0))
+        return total_loss
+
+    # -- full fit loop (`train.py:309-339`) -------------------------------
+
+    def fit(self, evaluate_fn=None):
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        for epoch in range(self.start_epoch, cfg.TRAIN.MAX_EPOCHS):
+            logger.info("Training epoch %d/%d, %d iters each epoch",
+                        epoch, cfg.TRAIN.MAX_EPOCHS, len(self.train_loader))
+            t0 = time.time()
+            self.train_one_epoch(epoch)
+            print("train done in (m): " + str((time.time() - t0) / 60.0))
+
+            last = epoch == cfg.TRAIN.MAX_EPOCHS - 1
+            if is_root_proc() and ((epoch + 1) % cfg.CHECKPOINT.SAVE_INTERVAL == 0
+                                   or last):
+                save_checkpoint(cfg.LOGDIR, jax.device_get(self.state), epoch)
+            if not self.no_eval and ((epoch + 1) % cfg.EVAL.VAL_INTERVAL == 0
+                                     or last):
+                self.val_one_epoch(epoch)
+                if evaluate_fn is not None:
+                    t0 = time.time()
+                    evaluate_fn(self, epoch)
+                    print("evaluate_once done in (m): " + str((time.time() - t0) / 60.0))
