@@ -372,9 +372,11 @@ class CARLModel(nn.Module):
 
     def __call__(self, x, num_frames: Optional[int] = None, video_masks=None,
                  project: bool = False, classification: bool = False,
-                 train: bool = False, backbone_warmup_active: bool = False):
+                 train: bool = False, backbone_warmup_active: bool = False,
+                 true_seq_len=None):
         """x: (BV, T, 3, H, W) (reference NCHW contract) or (BV, T, H, W, 3)
-        (the pipeline's native NHWC) — detected by channel position."""
+        (the pipeline's native NHWC) — detected by channel position.
+        `true_seq_len`: traced true length when T is a padded eval bucket."""
         s = self.spec
         BV, T = x.shape[0], x.shape[1]
         num_frames = num_frames or T
@@ -389,9 +391,11 @@ class CARLModel(nn.Module):
             if s.fusion_type == "smart":
                 emb = self.embed(feats, video_masks=video_masks,
                                  cls_emb=cls_emb, train=train,
-                                 backbone_warmup_active=backbone_warmup_active)
+                                 backbone_warmup_active=backbone_warmup_active,
+                                 true_len=true_seq_len)
             else:
-                emb = self.embed(feats, video_masks=video_masks, train=train)
+                emb = self.embed(feats, video_masks=video_masks, train=train,
+                                 true_len=true_seq_len)
         else:
             emb = self.embed(feats, num_frames, train=train)
 

@@ -40,7 +40,7 @@ class TransformerEmbModel(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, video_masks=None, train: bool = False):
+    def __call__(self, x, video_masks=None, train: bool = False, true_len=None):
         B, T = x.shape[0], x.shape[1]
         x = x.reshape((B * T,) + x.shape[2:])
         # AdaptiveMax/AvgPool2d(1) over the spatial grid (`transformer.py:258-262`).
@@ -57,7 +57,8 @@ class TransformerEmbModel(nn.Module):
         x = x.reshape(B, T, -1)
         x = PositionalEncoder(self.hidden_channels, self.drop_rate,
                               seq_len=self.train_num_frames,
-                              name="video_pos_enc")(x, deterministic=not train)
+                              name="video_pos_enc")(x, deterministic=not train,
+                                                    true_len=true_len)
         if self.num_layers > 0:
             x = Encoder(self.hidden_channels, self.drop_rate, self.num_heads,
                         self.d_ff, self.num_layers, name="video_encoder")(

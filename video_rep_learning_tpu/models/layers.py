@@ -152,18 +152,43 @@ def sincos_embedding(seq_len: int, d_model: int, train_len: Optional[int] = None
     return mat[None]  # (1, S, D)
 
 
+def sincos_embedding_dynamic(S: int, d_model: int, train_len: int, true_n):
+    """Positional matrix for a length-S padded buffer whose TRUE sequence
+    length is the traced scalar `true_n`: positions follow the reference's
+    rule (`models/utils.py:136-144`) applied to `true_n` — arange when
+    true_n == train_len, else linspace(0, train_len-1, true_n). Positions at
+    indices >= true_n are arbitrary (those frames are key-masked)."""
+    idx = jnp.arange(S, dtype=jnp.float32)
+    true_n = jnp.asarray(true_n, jnp.float32)
+    interp = idx * (train_len - 1) / jnp.maximum(true_n - 1.0, 1.0)
+    pos = jnp.where(true_n == train_len, idx, interp)
+    even = jnp.arange(0, d_model, 2)
+    odd = jnp.arange(1, d_model, 2)
+    mat = jnp.zeros((S, d_model), dtype=jnp.float32)
+    mat = mat.at[:, even].set(jnp.sin(pos[:, None] / (10000.0 ** (even[None, :] / d_model))))
+    mat = mat.at[:, odd].set(jnp.cos(pos[:, None] / (10000.0 ** (odd[None, :] / d_model))))
+    return mat[None]
+
+
 class PositionalEncoder(nn.Module):
-    """Adds (interpolated) sin-cos positions + dropout. `models/utils.py:128-145`."""
+    """Adds (interpolated) sin-cos positions + dropout. `models/utils.py:128-145`.
+
+    `true_len`: optional traced true sequence length when x is padded to a
+    bucketed static shape (eval-time chunking, `evaluate.py:45-63`)."""
 
     d_model: int
     dout_p: float
     seq_len: int = 3660
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, true_len=None):
         S = x.shape[1]
-        train_len = self.seq_len if S != self.seq_len else None
-        pe = sincos_embedding(S, x.shape[2], train_len).astype(x.dtype)
+        if true_len is not None:
+            pe = sincos_embedding_dynamic(S, x.shape[2], self.seq_len,
+                                          true_len).astype(x.dtype)
+        else:
+            train_len = self.seq_len if S != self.seq_len else None
+            pe = sincos_embedding(S, x.shape[2], train_len).astype(x.dtype)
         x = x + pe
         return nn.Dropout(self.dout_p)(x, deterministic=deterministic)
 

@@ -169,7 +169,7 @@ class MultiEntityTransformerEmbModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, video_masks=None, cls_emb=None, train: bool = False,
-                 backbone_warmup_active: bool = False):
+                 backbone_warmup_active: bool = False, true_len=None):
         deterministic = not train
         if backbone_warmup_active:
             # stop fine-tuning of the backbone during warmup (`mvformer.py:130-132`)
@@ -211,7 +211,8 @@ class MultiEntityTransformerEmbModel(nn.Module):
         x = jnp.moveaxis(x, 2, 1).reshape(BV * ntok, T, x.shape[-1])
         x = PositionalEncoder(hidden, self.drop_rate,
                               seq_len=self.train_num_frames,
-                              name="video_pos_enc")(x, deterministic)
+                              name="video_pos_enc")(x, deterministic,
+                                                    true_len=true_len)
         x = x.reshape(BV, ntok, T, x.shape[-1])
 
         if self.one_hot_pos == "enc":
