@@ -50,20 +50,25 @@ def _nan_to_zero(tree):
 class Trainer:
     """Owns model/algo/optimizer/loaders and the compiled step functions."""
 
-    def __init__(self, cfg: ConfigNode, summary_writer=None, no_eval: bool = False):
+    def __init__(self, cfg: ConfigNode, summary_writer=None, no_eval: bool = False,
+                 build_loaders: bool = True, mesh=None):
         self.cfg = cfg
-        self.mesh = create_mesh()
+        self.mesh = mesh if mesh is not None else create_mesh()
         self.model = build_model(cfg)
         self.algo = get_algo(cfg)
         self.tx = make_optimizer(cfg)
         self.summary_writer = summary_writer
         self.no_eval = no_eval
 
-        self.train_loader, self.train_emb_loader = construct_dataloader(
-            cfg, "train", no_eval=no_eval)
-        if not no_eval:
-            self.val_loader, self.val_emb_loader = construct_dataloader(cfg, "val")
+        if build_loaders:
+            self.train_loader, self.train_emb_loader = construct_dataloader(
+                cfg, "train", no_eval=no_eval)
+            if not no_eval:
+                self.val_loader, self.val_emb_loader = construct_dataloader(cfg, "val")
+            else:
+                self.val_loader = self.val_emb_loader = None
         else:
+            self.train_loader = self.train_emb_loader = None
             self.val_loader = self.val_emb_loader = None
 
         aug = AugmentParams(image_size=cfg.IMAGE_SIZE,
