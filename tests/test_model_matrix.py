@@ -1,0 +1,143 @@
+"""Shape/jit coverage of the model option matrix (SURVEY.md §4 item (b)):
+every FUSION_TYPE / SMART_* / LATE_TYPE / embedder combination the reference
+supports must build, init, and produce (BV, T, emb) embeddings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_rep_learning_tpu.config import get_cfg
+from video_rep_learning_tpu.models import build_model
+
+
+def base_cfg():
+    cfg = get_cfg()
+    cfg.IMAGE_SIZE = 32
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = 12  # fully frozen (>= depth 2)
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 8
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 1
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    e.SMART_POOL_CHANNELS = 16
+    e.SMART_TOKENS = 2
+    cfg.MODEL.PROJECTION_SIZE = 8
+    return cfg
+
+
+def run_model(cfg, project=True, classification=False):
+    model = build_model(cfg)
+    T = cfg.TRAIN.NUM_FRAMES
+    S = cfg.IMAGE_SIZE
+    x = jnp.asarray(np.random.RandomState(0).rand(2, T, S, S, 3), jnp.float32)
+    masks = jnp.ones((2, 1, T), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x, T, video_masks=masks, project=project,
+                           classification=classification)
+    out = model.apply(variables, x, T, video_masks=masks, project=project,
+                      classification=classification, train=False)
+    return model, np.asarray(out)
+
+
+CASES = {
+    "late_cls": {},
+    "late_spatial": {"MODEL.EMBEDDER_MODEL.LATE_TYPE": "spatial",
+                     "MODEL.EMBEDDER_MODEL.SMART_FEATS": "0,1"},
+    "smart_pool_one": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                       "MODEL.EMBEDDER_MODEL.SMART_ONE_HOT": "pool",
+                       "MODEL.EMBEDDER_MODEL.SMART_FINAL": "one",
+                       "MODEL.EMBEDDER_MODEL.SMART_FEATS": "0,1"},
+    "smart_enc_max": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                      "MODEL.EMBEDDER_MODEL.SMART_ONE_HOT": "enc",
+                      "MODEL.EMBEDDER_MODEL.SMART_FINAL": "max"},
+    "smart_avg_valpass": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                          "MODEL.EMBEDDER_MODEL.SMART_FINAL": "avg",
+                          "MODEL.EMBEDDER_MODEL.VAL_PASS": True},
+    "smart_lin": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                  "MODEL.EMBEDDER_MODEL.SMART_FINAL": "lin"},
+    "smart_fwb": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                  "MODEL.EMBEDDER_MODEL.FIXED_WIDTH_BASELINE": True},
+    "smart_disjoint_lnkeys": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                              "MODEL.EMBEDDER_MODEL.SMART_DISJOINT": True,
+                              "MODEL.EMBEDDER_MODEL.SMART_LN_KEYS": True},
+    "smart_dynamic_separate": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                               "MODEL.EMBEDDER_MODEL.SMART_DYNAMIC_TOKENS": 1},
+    "smart_dynamic_first": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                            "MODEL.EMBEDDER_MODEL.SMART_DYNAMIC_TOKENS": 1,
+                            "MODEL.EMBEDDER_MODEL.DYNAMIC_CTRL": "first"},
+    "smart_dynamic_average": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                              "MODEL.EMBEDDER_MODEL.SMART_DYNAMIC_TOKENS": 1,
+                              "MODEL.EMBEDDER_MODEL.DYNAMIC_CTRL": "average"},
+    "smart_dynamic_only": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                           "MODEL.EMBEDDER_MODEL.SMART_TOKENS": 0,
+                           "MODEL.EMBEDDER_MODEL.SMART_DYNAMIC_TOKENS": 2},
+    "cls_res": {"MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                "MODEL.CLS_RES": True},
+    "vit_partial_freeze": {"MODEL.BASE_MODEL.LAYER": 1,
+                           "MODEL.EMBEDDER_MODEL.FUSION_TYPE": "smart",
+                           "MODEL.EMBEDDER_MODEL.SMART_FEATS": "1"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_model_variant(name):
+    cfg = base_cfg()
+    for k, v in CASES[name].items():
+        cfg.set_path(k, v)
+    _, out = run_model(cfg)
+    assert out.shape == (2, 4, 8)
+    assert np.isfinite(out).all()
+    # projection + L2 normalize -> unit norm embeddings
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_resnet_conv_and_vanilla_embedders():
+    for etype in ("conv", "vanilla"):
+        cfg = base_cfg()
+        cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+        cfg.MODEL.BASE_MODEL.LAYER = 3
+        cfg.MODEL.EMBEDDER_TYPE = etype
+        # 32px test input -> 2x2 layer3 grid; kernel 1 keeps VALID conv alive
+        cfg.MODEL.EMBEDDER_MODEL.CONV_LAYERS = [[8, 1, 0]]
+        cfg.MODEL.PROJECTION = False
+        _, out = run_model(cfg, project=False)
+        assert out.shape == (2, 4, 8)
+        assert np.isfinite(out).all()
+
+
+def test_classification_head():
+    cfg = base_cfg()
+    cfg.TRAINING_ALGO = "classification"
+    cfg.DATASETS = ["pouring"]  # 5 classes
+    _, out = run_model(cfg, project=False, classification=True)
+    assert out.shape == (2, 4, 5)
+
+
+def test_invalid_configs_raise():
+    cfg = base_cfg()
+    cfg.MODEL.CLS_RES = True  # with late fusion -> error (`transformer.py:34-36`)
+    with pytest.raises(ValueError):
+        build_model(cfg)
+
+    cfg = base_cfg()
+    cfg.MODEL.EMBEDDER_MODEL.FUSION_TYPE = "smart"
+    cfg.MODEL.BASE_MODEL.LAYER = 1
+    cfg.MODEL.EMBEDDER_MODEL.SMART_FEATS = "0,1"  # tap below split
+    with pytest.raises(ValueError):
+        build_model(cfg)
+
+    cfg = base_cfg()
+    cfg.MODEL.EMBEDDER_MODEL.FUSION_CLS = True
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"  # not timm
+    with pytest.raises(ValueError):
+        build_model(cfg)

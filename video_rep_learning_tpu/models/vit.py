@@ -56,6 +56,8 @@ VIT_SPECS = {
     "vit_base_patch14_dinov2.lvd142m": ViTSpec(768, 12, 12, 14, img_size=518),
     "vit_large_patch14_dinov2.lvd142m": ViTSpec(1024, 24, 16, 14, img_size=518),
     "vit_giant_patch14_dinov2.lvd142m": ViTSpec(1536, 40, 24, 14, img_size=518),
+    # debug/test-only spec: tiny ViT for fast config-matrix coverage
+    "vit_tiny_test": ViTSpec(32, 2, 2, 8, img_size=32),
 }
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
