@@ -79,3 +79,72 @@ def test_reference_yaml_loads_and_resolves(path):
     assert spec.embedding_size > 0
     if "mvf" in os.path.basename(path) and "ablate" not in os.path.basename(path):
         assert spec.fusion_type == "smart" or spec.late_type in ("cls", "spatial")
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _our_yamls():
+    return sorted(glob.glob(os.path.join(REPO, "configs", "*.yml"))
+                  + glob.glob(os.path.join(REPO, "configs_mvf", "*.yml")))
+
+
+@pytest.mark.parametrize("path", _our_yamls(),
+                         ids=[os.path.basename(p) for p in _our_yamls()])
+def test_our_config_loads_and_resolves(path):
+    cfg = get_cfg()
+    load_yaml_into(cfg, path)
+    cfg.EVAL.BATCH_SIZE = cfg.TRAIN.BATCH_SIZE
+    cfg.EVAL.NUM_FRAMES = cfg.TRAIN.NUM_FRAMES
+    resolve_model_spec(cfg)
+
+
+_KEY_WORKLOADS = [  # our file -> reference file (effective-value parity)
+    ("configs/scl_transformer_config.yml", "configs/scl_transformer_config.yml"),
+    ("configs/scl_transformer_action_config.yml",
+     "configs/scl_transformer_action_config.yml"),
+    ("configs/scl_transformer_finegym_config.yml",
+     "configs/scl_transformer_finegym_config.yml"),
+    ("configs/scl_transformer_k400_pretrain_config.yml",
+     "configs/scl_transformer_k400_pretrain_config.yml"),
+    ("configs_mvf/penn_mvf.yml", "configs_mvf/penn_mvf.yml"),
+    ("configs_mvf/fg99_mvf.yml", "configs_mvf/fg99_mvf.yml"),
+    ("configs_mvf/fg288_mvf.yml", "configs_mvf/fg288_mvf.yml"),
+    ("configs_mvf/pouring_mvf.yml", "configs_mvf/pouring_mvf.yml"),
+    ("configs_mvf/k400_mvf.yml", "configs_mvf/k400_mvf.yml"),
+]
+
+
+@pytest.mark.parametrize("ours,ref", _KEY_WORKLOADS,
+                         ids=[os.path.basename(a) for a, _ in _KEY_WORKLOADS])
+def test_effective_config_matches_reference(ours, ref):
+    """defaults + our minimal-diff file must equal defaults + the reference's
+    full file on every key the reference file sets (minus LOGDIR paths)."""
+    ref_path = os.path.join(REFERENCE, ref)
+    if not os.path.isfile(ref_path):
+        pytest.skip("reference not mounted")
+    ours_cfg = get_cfg()
+    load_yaml_into(ours_cfg, os.path.join(REPO, ours))
+    ref_cfg = get_cfg()
+    load_yaml_into(ref_cfg, ref_path)
+
+    import yaml
+
+    with open(ref_path) as f:
+        ref_raw = yaml.safe_load(f)
+
+    def flat(d, p=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from flat(v, p + k + ".")
+            else:
+                yield p + k, v
+
+    skip = {"LOGDIR", "NUM_GPUS", "DATA.NUM_WORKERS",
+            "MODEL.PRETRAINED_CHECKPOINT", "PATH_TO_DATASET"}
+    for key, _ in flat(ref_raw):
+        if key in skip:
+            continue
+        a = ours_cfg.get_path(key)
+        b = ref_cfg.get_path(key)
+        assert a == b, f"{key}: ours={a!r} reference={b!r}"

@@ -116,10 +116,25 @@ class SCL:
         embs, updates = out if train else (out, {})
 
         embs = embs.reshape(B, V, num_frames, embs.shape[-1])
-        loss = scl_sequence_loss(
-            embs, batch["seq_lens"].reshape(B, V),
-            batch["chosen_steps"].reshape(B, V, num_frames),
-            batch["video_masks"].reshape(B, V, num_frames),
-            temperature=self.temperature, label_varience=self.label_varience,
-            positive_type=self.positive_type, negative_type=self.negative_type)
+        seq_lens = batch["seq_lens"].reshape(B, V)
+        steps = batch["chosen_steps"].reshape(B, V, num_frames)
+        masks = batch["video_masks"].reshape(B, V, num_frames)
+
+        N = B * V * num_frames
+        use_fused = (self.positive_type == "gauss" and N >= 2048
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            # Pallas fused kernel: no (N, N) HBM buffers (ops/scl_pallas.py)
+            from ..ops.scl_pallas import scl_loss_fused
+
+            loss = {"loss": scl_loss_fused(
+                embs, seq_lens, steps, masks, self.temperature,
+                self.label_varience, self.negative_type)}
+        else:
+            loss = scl_sequence_loss(
+                embs, seq_lens, steps, masks,
+                temperature=self.temperature,
+                label_varience=self.label_varience,
+                positive_type=self.positive_type,
+                negative_type=self.negative_type)
         return loss, updates

@@ -93,6 +93,22 @@ def scaled_dot_attention(q, k, v, mask=None, disjoint: bool = False,
     return out
 
 
+def _flash_eligible(seq_len_k: int, mask) -> bool:
+    """Use the Pallas flash kernel on TPU for long sequences with (B, 1, Sk)
+    key masks (the only mask shape the reference uses). Override with
+    VRL_FLASH_ATTENTION=0/1."""
+    import os
+
+    flag = os.environ.get("VRL_FLASH_ATTENTION", "auto")
+    if flag == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if mask is not None and (mask.ndim != 3 or mask.shape[1] != 1):
+        return False
+    return flag == "1" or seq_len_k >= 256
+
+
 class MultiheadedAttention(nn.Module):
     """MHA with independent Q/K/V model dims. `models/utils.py:47-108`."""
 
@@ -122,10 +138,15 @@ class MultiheadedAttention(nn.Module):
         k = k.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
 
-        if mask is not None:
-            mask = mask[:, None]  # (B, 1, 1|Sq, Sk)
+        out = None
+        if _flash_eligible(k.shape[2], mask):
+            from ..ops.attention_pallas import mha_with_flash
 
-        out = scaled_dot_attention(q, k, v, mask)
+            kv_mask = None if mask is None else mask[:, 0]  # (B, Sk)
+            out = mha_with_flash(q, k, v, kv_mask)
+        if out is None:
+            m = mask[:, None] if mask is not None else None  # (B,1,1|Sq,Sk)
+            out = scaled_dot_attention(q, k, v, m)
         # Reference applies dropout to the attention *output* (`models/utils.py:37-38`).
         out = nn.Dropout(self.dout_p)(out, deterministic=deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, d_model)

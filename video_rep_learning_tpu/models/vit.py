@@ -77,12 +77,22 @@ class ViTAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(head_dim)
-        attn = nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+
+        from ..models.layers import _flash_eligible
+
+        if _flash_eligible(N, None):
+            # Pallas flash kernel: no (N, N) score tensor in HBM — the hot
+            # path for ViT-B/8's 785-token frames (SURVEY.md §5)
+            from ..ops.attention_pallas import mha_with_flash
+
+            out = mha_with_flash(q, k, v, None)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(head_dim)
+            attn = nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(self.dim, kernel_init=_trunc02, name="proj")(out)
 
