@@ -140,6 +140,11 @@ def test_effective_config_matches_reference(ours, ref):
             else:
                 yield p + k, v
 
+    # EVAL batch/frames are forced equal to TRAIN at load time
+    # (`utils/parser.py:94-95`), so raw-file values are dead.
+    for c in (ours_cfg, ref_cfg):
+        c.EVAL.BATCH_SIZE = c.TRAIN.BATCH_SIZE
+        c.EVAL.NUM_FRAMES = c.TRAIN.NUM_FRAMES
     skip = {"LOGDIR", "NUM_GPUS", "DATA.NUM_WORKERS",
             "MODEL.PRETRAINED_CHECKPOINT", "PATH_TO_DATASET"}
     for key, _ in flat(ref_raw):

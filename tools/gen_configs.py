@@ -220,8 +220,10 @@ def mvf(name, *frags, **extra):
 
 mvf("penn_mvf", MVF_SMART, penn80(
     CHECKPOINT={"SAVE_INTERVAL": 20},
+    EVAL={"CLASSIFICATION_FRACTIONS": [1.0]},
     TRAIN={"MAX_EPOCHS": 500}, LOGDIR="scl_transformer_action_logs"))
 mvf("pouring_mvf", MVF_SMART, {
+    "CHECKPOINT": {"SAVE_INTERVAL": 60},
     "MODEL": {"EMBEDDER_MODEL": {"SMART_FEATS": "11"}},
     "TRAIN": {"MAX_EPOCHS": 1000}, "LOGDIR": "scl_transformer_logs"})
 
@@ -248,7 +250,7 @@ mvf("k400_mvf", MVF_SMART, {
              "KENDALLS_TAU_STRIDE": 2, "VAL_INTERVAL": 1},
     "LOGGING": {"REPORT_INTERVAL": 100},
     "SCL": {"NEGATIVE_TYPE": "batch_noself"},
-    "TRAIN": {"BATCH_SIZE": 2, "MAX_EPOCHS": 10, "NUM_FRAMES": 80},
+    "TRAIN": {"MAX_EPOCHS": 10, "NUM_FRAMES": 80},
     "LOGDIR": "scl_transformer_k400_pretrain_logs"})
 mvf("k400_penn_mvf", MVF_SMART, penn80(
     EVAL={"CLASSIFICATION_FRACTIONS": [1.0]},
