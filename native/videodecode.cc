@@ -224,6 +224,59 @@ int64_t vrl_decode_range(void* handle, int64_t start, int64_t stop,
   return written;
 }
 
+// Decode one compressed image (JPEG/PNG) from memory to RGB24. Used by the
+// offline dataset-prep tools (TFRecord SequenceExamples store per-frame
+// JPEGs — reference `dataset_preparation/dataset_utils.py:100-140`).
+// On success writes dims to *w/*h and pixels to `out` when `out_capacity`
+// suffices; returns required byte count (w*h*3), or negative on error.
+int64_t vrl_decode_image(const uint8_t* data, int64_t size, uint8_t* out,
+                         int64_t out_capacity, int* out_w, int* out_h) {
+  AVCodecID codec_id = AV_CODEC_ID_MJPEG;
+  if (size >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' &&
+      data[3] == 'G')
+    codec_id = AV_CODEC_ID_PNG;
+  const AVCodec* dec = avcodec_find_decoder(codec_id);
+  if (!dec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(dec);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t ret = -2;
+  SwsContext* sws = nullptr;
+  if (!ctx || !pkt || !frame) goto done;
+  if (avcodec_open2(ctx, dec, nullptr) < 0) goto done;
+  pkt->data = const_cast<uint8_t*>(data);
+  pkt->size = (int)size;
+  if (avcodec_send_packet(ctx, pkt) < 0) goto done;
+  if (avcodec_receive_frame(ctx, frame) < 0) goto done;
+  if (out_w) *out_w = frame->width;
+  if (out_h) *out_h = frame->height;
+  ret = (int64_t)frame->width * frame->height * 3;
+  if (out && out_capacity >= ret) {
+    sws = sws_getContext(frame->width, frame->height,
+                         (AVPixelFormat)frame->format, frame->width,
+                         frame->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                         nullptr, nullptr, nullptr);
+    if (!sws) {
+      ret = -3;
+      goto done;
+    }
+    uint8_t* planes[4] = {out, nullptr, nullptr, nullptr};
+    int strides[4] = {3 * frame->width, 0, 0, 0};
+    sws_scale(sws, frame->data, frame->linesize, 0, frame->height, planes,
+              strides);
+  }
+done:
+  if (sws) sws_freeContext(sws);
+  if (frame) av_frame_free(&frame);
+  if (pkt) {
+    pkt->data = nullptr;
+    pkt->size = 0;
+    av_packet_free(&pkt);
+  }
+  if (ctx) avcodec_free_context(&ctx);
+  return ret;
+}
+
 // Encode RGB24 frames (n, h, w, 3) to a video file. Used by the synthetic
 // dataset generator (micro e2e tests mirror the reference's debug jobs) and
 // the alignment/retrieval visualizers (`visualize_alignment.py`). Tries

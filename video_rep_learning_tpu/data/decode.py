@@ -58,6 +58,11 @@ def _load_library():
         lib.vrl_encode_video.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_double]
+        lib.vrl_decode_image.restype = ctypes.c_int64
+        lib.vrl_decode_image.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -139,6 +144,27 @@ def probe(path: str) -> Tuple[int, int, int, float]:
         return r.num_frames, r.height, r.width, r.fps
     finally:
         r.close()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode one JPEG/PNG byte string to (H, W, 3) uint8 (offline dataset
+    prep; TFRecord frames are stored as JPEGs)."""
+    lib = _load_library()
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    needed = lib.vrl_decode_image(src, len(data), None, 0,
+                                  ctypes.byref(w), ctypes.byref(h))
+    if needed < 0:
+        raise IOError(f"image decode failed ({needed})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    ret = lib.vrl_decode_image(
+        src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        needed, ctypes.byref(w), ctypes.byref(h))
+    if ret != needed:
+        raise IOError(f"image decode failed ({ret})")
+    return out
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
