@@ -128,6 +128,10 @@ def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
         uses_spatial = fusion_type != "late" or late_type == "spatial"
         if uses_spatial:
             tap_blocks = parse_smart_feats(e.SMART_FEATS, vit_spec.depth - 1)
+            if any(t < 0 or t >= vit_spec.depth for t in tap_blocks):
+                raise ValueError(
+                    f"SMART_FEATS taps {tap_blocks} out of range for "
+                    f"{name} (depth {vit_spec.depth})")
             out_channel *= len(tap_blocks)
         layer = m.BASE_MODEL.LAYER
         if layer < 0 or layer >= vit_spec.depth:

@@ -225,17 +225,28 @@ class Trainer:
 
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
-        if self._train_step is None:
-            self._train_step = self.build_train_step()
-        self.train_loader.set_epoch(epoch)
-        lr = learning_rate_for_epoch(cfg, epoch)
-
         warmup_active = False
         if cfg.TRAIN.BACKBONE_WARMUP is not None:
             if cfg.MODEL.EMBEDDER_MODEL.FUSION_TYPE != "smart":
                 raise ValueError("BACKBONE_WARMUP requires smart fusion "
                                  "(`train.py:81-85`)")
             warmup_active = epoch < cfg.TRAIN.BACKBONE_WARMUP
+
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+        self.train_loader.set_epoch(epoch)
+        lr = learning_rate_for_epoch(cfg, epoch)
+
+        # VRL_PROFILE=<dir>: capture a jax.profiler trace of this epoch
+        # (upgrade over the reference's wall-clock-only markers, SURVEY.md §5)
+        import os as _os
+
+        profile_dir = _os.environ.get("VRL_PROFILE")
+        if profile_dir and epoch == self.start_epoch:
+            import jax.profiler as _prof
+
+            _prof.start_trace(profile_dir)
+            self._profiling = True
 
         data_size = len(self.train_loader)
         total_loss: Dict[str, float] = {}
@@ -271,6 +282,14 @@ class Trainer:
             if tmt[i] > 0.0:
                 print("marker %i: %f" % (i, tmt[i] / max(tmc, 1)))
         print("loops: %i" % tmc)
+
+        if getattr(self, "_profiling", False):
+            import jax.profiler as _prof
+
+            _prof.stop_trace()
+            self._profiling = False
+            logger.info("profiler trace written to %s",
+                        _os.environ.get("VRL_PROFILE"))
 
         if self.summary_writer is not None:
             self.summary_writer.add_scalar("train/learning_rate", lr, epoch)
