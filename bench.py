@@ -71,19 +71,24 @@ def main():
     dev_batch = shard_batch(mesh, batch)
     key = jax.random.key(0)
 
-    # warmup / compile
+    # warmup / compile. NOTE: we synchronize by READING the loss value each
+    # step (device->host transfer) — on relay-backed PJRT plugins
+    # block_until_ready can return before device execution completes, which
+    # would make the measurement meaningless.
     state = trainer.state
     for i in range(2):
         state, loss = step(state, dev_batch, jax.random.fold_in(key, i),
                            False, 1e-4)
-    jax.block_until_ready(loss["loss"])
+    float(loss["loss"])
 
     n_steps = 8 if on_tpu else 2
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, dev_batch, jax.random.fold_in(key, 100 + i),
                            False, 1e-4)
-    jax.block_until_ready(loss["loss"])
+    # single value read at the end: the data dependency through the chained
+    # state forces every step to have executed before this returns
+    float(loss["loss"])
     dt = time.perf_counter() - t0
 
     ndev = mesh.devices.size

@@ -247,16 +247,22 @@ class CARLModel(nn.Module):
 
     def setup(self):
         s = self.spec
+        # computation dtype for the frame backbone (bf16 under USE_AMP —
+        # params stay fp32, flax casts inside each layer, matching torch
+        # autocast semantics `train.py:113`)
+        bdt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         if s.backbone_kind == "vit":
             fully_frozen = s.vit_frozen_blocks >= s.vit_spec.depth
             self.backbone = ViTFrontEnd(s.vit_spec, s.vit_frozen_blocks,
-                                        s.tap_blocks, include_norm=fully_frozen)
+                                        s.tap_blocks, include_norm=fully_frozen,
+                                        dtype=bdt)
             self.res_finetune = None if fully_frozen else ViTBackEnd(
-                s.vit_spec, s.vit_frozen_blocks, s.tap_blocks)
+                s.vit_spec, s.vit_frozen_blocks, s.tap_blocks, dtype=bdt)
         else:
-            self.backbone = ResNet50Trunk(s.resnet_trunk_upto)
+            self.backbone = ResNet50Trunk(s.resnet_trunk_upto, dtype=bdt)
             if s.resnet_finetune_start:
-                self.res_finetune = ResNet50Stages(s.resnet_finetune_start, 4)
+                self.res_finetune = ResNet50Stages(s.resnet_finetune_start, 4,
+                                                   dtype=bdt)
             else:
                 self.res_finetune = None
 

@@ -18,7 +18,7 @@ inputs still accumulate in fp32 on the MXU.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -288,6 +288,7 @@ class TorchBatchNorm(nn.Module):
     axis_name: Optional[str] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Optional[Any] = None  # computation/output dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -295,6 +296,7 @@ class TorchBatchNorm(nn.Module):
             use_running_average=use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            dtype=self.dtype,
             axis_name=self.axis_name if not use_running_average else None,
         )(x)
 

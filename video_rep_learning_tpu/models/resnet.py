@@ -18,7 +18,7 @@ Weight import from torchvision / BYOL / SimCLR / MoCo-v2 checkpoints is in
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 from flax import linen as nn
 
@@ -33,13 +33,15 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[Any] = None  # computation dtype (bf16 under USE_AMP)
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        bn = lambda name: TorchBatchNorm(self.axis_name, name=name)
+        bn = lambda name: TorchBatchNorm(self.axis_name, dtype=self.dtype,
+                                         name=name)
         conv = lambda feats, k, s, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, name=name)
+            use_bias=False, dtype=self.dtype, name=name)
 
         identity = x
         out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x), use_running_average))
@@ -57,14 +59,17 @@ class ResNetStage(nn.Module):
     blocks: int
     stride: int
     axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
         x = Bottleneck(self.planes, self.stride, downsample=True,
-                       axis_name=self.axis_name, name="block0")(x, use_running_average)
+                       axis_name=self.axis_name, dtype=self.dtype,
+                       name="block0")(x, use_running_average)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, downsample=False,
-                           axis_name=self.axis_name, name=f"block{i}")(x, use_running_average)
+                           axis_name=self.axis_name, dtype=self.dtype,
+                           name=f"block{i}")(x, use_running_average)
         return x
 
 
@@ -77,16 +82,19 @@ class ResNet50Trunk(nn.Module):
 
     upto: int = 3  # last stage index included (1..4)
     axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
-        x = TorchBatchNorm(self.axis_name, name="bn1")(x, use_running_average=True)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = TorchBatchNorm(self.axis_name, dtype=self.dtype, name="bn1")(
+            x, use_running_average=True)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, (planes, blocks, stride) in enumerate(_STAGES[: self.upto], start=1):
             x = ResNetStage(planes, blocks, stride, axis_name=self.axis_name,
+                            dtype=self.dtype,
                             name=f"layer{i}")(x, use_running_average=True)
         return x
 
@@ -99,11 +107,13 @@ class ResNet50Stages(nn.Module):
     start: int
     end: int = 4
     axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.start, self.end + 1):
             planes, blocks, stride = _STAGES[i - 1]
             x = ResNetStage(planes, blocks, stride, axis_name=self.axis_name,
+                            dtype=self.dtype,
                             name=f"layer{i}")(x, use_running_average=not train)
         return x

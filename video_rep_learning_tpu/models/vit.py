@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -66,12 +66,14 @@ _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 class ViTAttention(nn.Module):
     dim: int
     num_heads: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, kernel_init=_trunc02, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, kernel_init=_trunc02, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = q.transpose(0, 2, 1, 3)
@@ -94,22 +96,27 @@ class ViTAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                              preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(self.dim, kernel_init=_trunc02, name="proj")(out)
+        return nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
+                        name="proj")(out)
 
 
 class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + ViTAttention(self.dim, self.num_heads, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02, name="mlp_fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
+                             name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02,
+                     dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, kernel_init=_trunc02, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
+                     name="mlp_fc2")(y)
         return x + y
 
 
@@ -129,13 +136,14 @@ class ViTFrontEnd(nn.Module):
     num_blocks: int  # how many leading blocks run here (L, or depth if fully frozen)
     tap_blocks: Tuple[int, ...] = ()
     include_norm: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         s = self.spec
         B = x.shape[0]
         x = nn.Conv(s.embed_dim, (s.patch, s.patch), strides=(s.patch, s.patch),
-                    padding="VALID", name="patch_embed")(x)
+                    padding="VALID", dtype=self.dtype, name="patch_embed")(x)
         x = x.reshape(B, -1, s.embed_dim)
         cls = self.param("cls_token", _trunc02, (1, 1, s.embed_dim))
         pos = self.param("pos_embed", _trunc02, (1, 1 + s.num_patches, s.embed_dim))
@@ -143,12 +151,13 @@ class ViTFrontEnd(nn.Module):
         x = x + pos.astype(x.dtype)
         taps = []
         for i in range(self.num_blocks):
-            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio, name=f"block{i}")(x)
+            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio,
+                         dtype=self.dtype, name=f"block{i}")(x)
             if self.include_norm and i in self.tap_blocks:
                 taps.append(x)
         if not self.include_norm:
             return x
-        normed = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
         feats = jnp.concatenate(taps, axis=2) if taps else None
         return feats, cls_out
@@ -163,16 +172,18 @@ class ViTBackEnd(nn.Module):
     spec: ViTSpec
     num_front_blocks: int
     tap_blocks: Tuple[int, ...] = ()
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         s = self.spec
         taps = []
         for i in range(self.num_front_blocks, s.depth):
-            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio, name=f"block{i}")(x)
+            x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio,
+                         dtype=self.dtype, name=f"block{i}")(x)
             if i in self.tap_blocks:
                 taps.append(x)
-        normed = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
         feats = jnp.concatenate(taps, axis=2) if taps else x
         return feats, cls_out

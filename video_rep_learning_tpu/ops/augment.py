@@ -188,9 +188,18 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - f * s)
     t = v * (1.0 - (1.0 - f) * s)
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(opts):
+        # arithmetic select chain (VPU-friendly; jnp.choose lowers to TPU
+        # gathers which are ~50x slower on this op)
+        out = opts[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, opts[k], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
