@@ -93,9 +93,11 @@ def scaled_dot_attention(q, k, v, mask=None, disjoint: bool = False,
     return out
 
 
-def _flash_eligible(seq_len_k: int, mask) -> bool:
-    """Use the Pallas flash kernel on TPU for long sequences with (B, 1, Sk)
-    key masks (the only mask shape the reference uses). Override with
+def _flash_eligible(seq_len_k: int, mask, batch_heads: int = 1) -> bool:
+    """Use the Pallas flash kernel on TPU when the materialized (B*H, S, S)
+    score tensor would be large enough to hurt (memory/HBM traffic). At the
+    model family's typical shapes (d_head 32-64) XLA's fused attention is
+    faster, so flash is a memory valve, not a default. Override with
     VRL_FLASH_ATTENTION=0/1."""
     import os
 
@@ -106,7 +108,10 @@ def _flash_eligible(seq_len_k: int, mask) -> bool:
         return False
     if mask is not None and (mask.ndim != 3 or mask.shape[1] != 1):
         return False
-    return flag == "1" or seq_len_k >= 256
+    if flag == "1":
+        return True
+    scores_bytes = 2 * batch_heads * seq_len_k * seq_len_k
+    return scores_bytes > 2 * 1024 ** 3  # > 2 GB of attention scores
 
 
 class MultiheadedAttention(nn.Module):
@@ -139,7 +144,7 @@ class MultiheadedAttention(nn.Module):
         v = v.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
 
         out = None
-        if _flash_eligible(k.shape[2], mask):
+        if _flash_eligible(k.shape[2], mask, batch_heads=B * self.H):
             from ..ops.attention_pallas import mha_with_flash
 
             kv_mask = None if mask is None else mask[:, 0]  # (B, Sk)

@@ -82,7 +82,7 @@ class ViTAttention(nn.Module):
 
         from ..models.layers import _flash_eligible
 
-        if _flash_eligible(N, None):
+        if _flash_eligible(N, None, batch_heads=B * self.num_heads):
             # Pallas flash kernel: no (N, N) score tensor in HBM — the hot
             # path for ViT-B/8's 785-token frames (SURVEY.md §5)
             from ..ops.attention_pallas import mha_with_flash

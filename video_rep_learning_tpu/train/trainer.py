@@ -250,6 +250,7 @@ class Trainer:
 
         data_size = len(self.train_loader)
         total_loss: Dict[str, float] = {}
+        loss_dicts = []  # device scalars; fetched lazily so steps pipeline
         tmt = {i: 0.0 for i in range(10)}
         tmc = 0
         t1 = time.time()
@@ -265,18 +266,21 @@ class Trainer:
             key = jax.random.fold_in(self._base_key, epoch * 100_000 + cur_iter)
             self.state, loss_dict = self._train_step(
                 self.state, dev_batch, key, warmup_active, lr)
-            loss_dict = jax.device_get(loss_dict)
+            loss_dicts.append(loss_dict)
             tmt[2] += time.time() - t1
             t1 = time.time()
 
-            for k, v in loss_dict.items():
-                total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
             if cur_iter % cfg.LOGGING.REPORT_INTERVAL == 0:
+                # fetching the value synchronizes up to this step
                 logger.info("iter %d, training loss: %.3f",
                             data_size * epoch + cur_iter,
                             float(loss_dict["loss"]))
             tmt[5] += time.time() - t1
             t1 = time.time()
+
+        for loss_dict in jax.device_get(loss_dicts):
+            for k, v in loss_dict.items():
+                total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
 
         for i in range(10):
             if tmt[i] > 0.0:
