@@ -111,15 +111,21 @@ class Trainer:
         variables = jax.jit(partial(self.model.init, method=init_all))(rngs, x, masks)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        trainable, frozen = split_params(params, cfg)
 
         if cfg.MODEL.PRETRAINED_CHECKPOINT:
+            # weights-only warm start (`models/__init__.py:50-59`): restore
+            # the full checkpoint tree (orbax requires matching structure)
+            # but keep only the model subtrees — the optimizer starts fresh
+            template = {"trainable": trainable, "frozen": frozen,
+                        "batch_stats": batch_stats,
+                        "opt_state": self.tx.init(trainable)}
             restored = load_pretrained_params(
-                cfg.MODEL.PRETRAINED_CHECKPOINT,
-                {"params": params, "batch_stats": batch_stats})
-            params = restored["params"]
+                cfg.MODEL.PRETRAINED_CHECKPOINT, template)
+            trainable = restored["trainable"]
+            frozen = restored["frozen"]
             batch_stats = restored.get("batch_stats", batch_stats)
 
-        trainable, frozen = split_params(params, cfg)
         opt_state = self.tx.init(trainable)
         state = {"trainable": trainable, "frozen": frozen,
                  "batch_stats": batch_stats, "opt_state": opt_state}
