@@ -140,8 +140,8 @@ def _flash_forward(q, k, v, kv_mask, sm_scale, block_q, block_k):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention(q, k, v, kv_mask=None, sm_scale=1.0, block_q=512,
-                    block_k=512):
+def flash_attention(q, k, v, kv_mask=None, sm_scale=1.0, block_q=1024,
+                    block_k=1024):
     """softmax(q k^T * sm_scale) v with optional per-key mask.
 
     q, k, v: (B, H, S, d); kv_mask: (B, Sk) nonzero = attend. Forward runs
