@@ -165,7 +165,12 @@ def convert_vit(sd, num_frozen_blocks: int, depth: int):
     front, back = {}, {}
     front[("cls_token",)] = _np(sd["cls_token"])
     front[("pos_embed",)] = _np(sd["pos_embed"])
-    front[("patch_embed", "kernel")] = _conv(sd, "patch_embed.proj.weight")
+    # patch embed runs as space-to-depth + Dense (vit.py): conv kernel
+    # (O, C, p, p) -> (p, p, C) row-major flattened x O
+    pk = _np(sd["patch_embed.proj.weight"])  # (O, C, p, p)
+    o, c, p1, p2 = pk.shape
+    front[("patch_embed", "kernel")] = (
+        pk.transpose(2, 3, 1, 0).reshape(p1 * p2 * c, o))
     front[("patch_embed", "bias")] = _np(sd["patch_embed.proj.bias"])
 
     def block_params(i):

@@ -74,11 +74,16 @@ class ViTAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, kernel_init=_trunc02, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        # contiguous [q; k; v] slices (timm weight layout) — cheaper for XLA
+        # to fuse than a (3, ...) moveaxis split
+        D = self.dim
+
+        def split(s):
+            return s.reshape(B, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split(qkv[..., :D])
+        k = split(qkv[..., D:2 * D])
+        v = split(qkv[..., 2 * D:])
 
         from ..models.layers import _flash_eligible
 
@@ -141,10 +146,17 @@ class ViTFrontEnd(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = self.spec
-        B = x.shape[0]
-        x = nn.Conv(s.embed_dim, (s.patch, s.patch), strides=(s.patch, s.patch),
-                    padding="VALID", dtype=self.dtype, name="patch_embed")(x)
-        x = x.reshape(B, -1, s.embed_dim)
+        B, H, W, C = x.shape
+        p = s.patch
+        # patch embedding as space-to-depth + matmul: stride == kernel, so
+        # the conv is exactly a per-patch Dense — the matmul form tiles onto
+        # the MXU far better than XLA's convolution lowering (~7ms -> <1ms
+        # per 40-frame chunk). Kernel layout (p, p, C) row-major == the
+        # reshaped conv kernel (see import_torch.convert_vit).
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p),
+                                                  p * p * C)
+        x = nn.Dense(s.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         cls = self.param("cls_token", _trunc02, (1, 1, s.embed_dim))
         pos = self.param("pos_embed", _trunc02, (1, 1 + s.num_patches, s.embed_dim))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (B, 1, s.embed_dim)), x], axis=1)
