@@ -1,0 +1,102 @@
+"""Tooling tests: DTW, alignment/retrieval/LSTP visualizer rendering,
+read_results aggregation, make_job generation."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dtw_alignment():
+    from video_rep_learning_tpu.utils.dtw import dtw
+
+    x = np.linspace(0, 1, 12)[:, None]
+    y = np.linspace(0, 1, 8)[:, None]
+    dist, cost, acc, (px, py) = dtw(x, y)
+    assert dist < 0.01
+    assert px[0] == 0 and py[0] == 0
+    assert px[-1] == 11 and py[-1] == 7
+    assert (np.diff(px) >= 0).all() and (np.diff(py) >= 0).all()
+
+
+def test_align_nn_and_dtw():
+    from visualize_alignment import align
+
+    q = np.linspace(0, 1, 10)[:, None] + 0.001
+    k = np.linspace(0, 1, 10)[:, None]
+    for use_dtw in (False, True):
+        nns = align(q, k, use_dtw)
+        assert len(nns) == 10
+        assert abs(int(nns[0])) <= 1 and int(nns[-1]) >= 8
+
+
+def test_render_videos(tmp_path):
+    from visualize_alignment import render_pair_video
+    from visualize_retrieval import create_retrieval_video
+
+    rng = np.random.RandomState(0)
+    frames_a = rng.randint(0, 255, size=(6, 32, 32, 3)).astype(np.uint8)
+    frames_b = rng.randint(0, 255, size=(6, 32, 32, 3)).astype(np.uint8)
+    out = str(tmp_path / "pair.npy")
+    render_pair_video(frames_a, frames_b, np.arange(6), out, time_stride=2)
+    assert os.path.exists(out)
+
+    embs_a = rng.randn(6, 4).astype(np.float32)
+    embs_b = rng.randn(6, 4).astype(np.float32)
+    out2 = str(tmp_path / "retr.npy")
+    create_retrieval_video(frames_a, embs_a, [(frames_b, embs_b)], out2,
+                           K=2, stride=3)
+    assert os.path.exists(out2)
+
+
+def test_read_results_aggregation(tmp_path):
+    base = tmp_path / "run"
+    for trial, (tau, ap) in enumerate([(0.8, 0.5), (0.9, 0.6)]):
+        d = base.parent / f"run-trial{trial:02d}"
+        d.mkdir()
+        (d / "stdout.log").write_text(
+            f"[01/01 00:00:00][INFO] evaluate.py: 51: metrics/all_kendalls_tau: {tau:.4f}\n"
+            f"[01/01 00:00:00][INFO] evaluate.py: 51: metrics/all_retrieval: {ap:.4f}\n")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "read_results.py"),
+         "--logdir", str(base)],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert "kendalls_tau: 0.8500" in r.stdout
+    assert "retrieval: 0.5500" in r.stdout
+
+
+def test_make_job(tmp_path):
+    out_dir = str(tmp_path / "jobs")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "make_job.py"),
+         "--cfg_file", "configs/scl_transformer_config.yml",
+         "--workdir", "/data", "--logdir", "/tmp/run",
+         "--out_dir", out_dir, "--trials", "2", "--micro"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    scripts = sorted(os.listdir(out_dir))
+    assert len(scripts) == 2
+    body = open(os.path.join(out_dir, scripts[0])).read()
+    assert "TRAIN.MAX_EPOCHS 2" in body and "RNG_SEED 1" in body
+    body2 = open(os.path.join(out_dir, scripts[1])).read()
+    assert "RNG_SEED 2" in body2
+
+
+def test_jsonl_scalars_fallback(tmp_path):
+    from video_rep_learning_tpu.utils.summary import SummaryWriter
+    import read_results
+
+    d = str(tmp_path / "logs")
+    w = SummaryWriter(d)
+    w.add_scalar("metrics/all_kendalls_tau", 0.7, 1)
+    w.add_scalar("metrics/all_kendalls_tau", 0.75, 2)
+    w.close()
+    jl = os.path.join(d, "scalars.jsonl")
+    if os.path.exists(jl):  # fallback path only when no TB backend
+        out = read_results.parse_jsonl(jl)
+        assert out["kendalls_tau"] == 0.75
