@@ -17,3 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The environment's relay-backed TPU plugin registers background threads that
+# can crash the interpreter during shutdown AFTER all tests have passed,
+# corrupting the exit code. Report the true pytest status and skip the
+# crashing teardown.
+_exitstatus = {"code": 0}
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _exitstatus["code"] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_exitstatus["code"])

@@ -139,9 +139,11 @@ class MultiheadedAttention(nn.Module):
         k = lin(d_model, "linear_K2d")(K)
         v = lin(d_model, "linear_V2d")(V)
 
-        q = q.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
-        k = k.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
-        v = v.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3)
+        from ..parallel.sharding import shard_heads
+
+        q = shard_heads(q.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3))
+        k = shard_heads(k.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3))
+        v = shard_heads(v.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3))
 
         out = None
         if _flash_eligible(k.shape[2], mask, batch_heads=B * self.H):

@@ -81,9 +81,11 @@ class ViTAttention(nn.Module):
         def split(s):
             return s.reshape(B, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split(qkv[..., :D])
-        k = split(qkv[..., D:2 * D])
-        v = split(qkv[..., 2 * D:])
+        from ..parallel.sharding import shard_heads
+
+        q = shard_heads(split(qkv[..., :D]))
+        k = shard_heads(split(qkv[..., D:2 * D]))
+        v = shard_heads(split(qkv[..., 2 * D:]))
 
         from ..models.layers import _flash_eligible
 

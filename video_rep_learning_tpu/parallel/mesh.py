@@ -37,11 +37,12 @@ def data_axis_size(mesh: Mesh, batch_size: int) -> int:
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """device_put every array in the batch with the leading dim sharded on
-    'data'; non-arrays (names) pass through."""
+    'data' (works for 1-D and 2-D meshes); non-arrays (names) pass through."""
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            spec = P("data") if v.ndim >= 1 and v.shape[0] % mesh.devices.size == 0 \
+            spec = P("data") if v.ndim >= 1 and v.shape[0] % data_size == 0 \
                 else P()
             out[k] = jax.device_put(v, NamedSharding(mesh, spec))
         else:
