@@ -277,6 +277,12 @@ def _defaults() -> ConfigNode:
     c.LOGGING.REPORT_INTERVAL = 20
     c.CHECKPOINT = ConfigNode()
     c.CHECKPOINT.SAVE_INTERVAL = 50
+
+    # -- parallelism (TPU-native addition; reference is DP-only) ---------
+    c.PARALLEL = ConfigNode()
+    # >1 builds a 2-D (data, model) mesh and head-shards attention
+    # (parallel/sharding.py). 1 = pure data parallelism (reference parity).
+    c.PARALLEL.TENSOR_PARALLELISM = 1
     return c
 
 

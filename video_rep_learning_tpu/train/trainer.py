@@ -53,7 +53,19 @@ class Trainer:
     def __init__(self, cfg: ConfigNode, summary_writer=None, no_eval: bool = False,
                  build_loaders: bool = True, mesh=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else create_mesh()
+        tp = int(cfg.get_path("PARALLEL.TENSOR_PARALLELISM", 1) or 1)
+        if mesh is not None:
+            self.mesh = mesh
+        elif tp > 1:
+            import jax as _jax
+
+            from ..parallel.sharding import create_mesh_2d, set_tensor_context
+
+            ndev = len(_jax.devices())
+            self.mesh = create_mesh_2d(ndev // tp, tp)
+            set_tensor_context(self.mesh, "model")
+        else:
+            self.mesh = create_mesh()
         self.model = build_model(cfg)
         self.algo = get_algo(cfg)
         self.tx = make_optimizer(cfg)
