@@ -123,6 +123,40 @@ def test_classification_head():
     assert out.shape == (2, 4, 5)
 
 
+def test_remat_trainable_tail_grads():
+    """MODEL.REMAT wraps the trainable tail in jax.checkpoint; grads must
+    still flow and match the non-remat values."""
+    grads = {}
+    for remat in (False, True):
+        cfg = base_cfg()
+        cfg.MODEL.BASE_MODEL.LAYER = 1  # partial freeze -> trainable back
+        cfg.MODEL.EMBEDDER_MODEL.FUSION_TYPE = "smart"
+        cfg.MODEL.EMBEDDER_MODEL.SMART_FEATS = "1"
+        cfg.MODEL.REMAT = remat
+        model = build_model(cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 32, 32, 3),
+                        jnp.float32)
+        masks = jnp.ones((2, 1, 4))
+        variables = model.init({"params": jax.random.key(0),
+                                "dropout": jax.random.key(1)},
+                               x, 4, video_masks=masks, project=True)
+
+        def loss(p):
+            out = model.apply(
+                {"params": p,
+                 "batch_stats": variables.get("batch_stats", {})},
+                x, 4, video_masks=masks, project=True)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        grads[remat] = jax.device_get(g["res_finetune"])
+    flat_a = jax.tree_util.tree_leaves(grads[False])
+    flat_b = jax.tree_util.tree_leaves(grads[True])
+    assert any(np.abs(l).sum() > 0 for l in flat_a)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_invalid_configs_raise():
     cfg = base_cfg()
     cfg.MODEL.CLS_RES = True  # with late fusion -> error (`transformer.py:34-36`)

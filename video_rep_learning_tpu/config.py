@@ -166,6 +166,9 @@ def _defaults() -> ConfigNode:
     # (`models/__init__.py:50-59`).
     c.MODEL.CLS_RES = False
     c.MODEL.PRETRAINED_CHECKPOINT = None
+    # TPU-native addition: rematerialize trainable-tail activations
+    # (jax.checkpoint) to trade FLOPs for HBM on partial-finetune configs.
+    c.MODEL.REMAT = False
 
     c.MODEL.BASE_MODEL = ConfigNode()
     c.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"

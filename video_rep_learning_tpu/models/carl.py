@@ -89,6 +89,7 @@ class ModelSpec:
     disjoint: bool
     ln_keys: bool
     dyn_ctrl: str
+    remat: bool = False
 
 
 def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
@@ -214,6 +215,7 @@ def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
         train_num_frames=cfg.TRAIN.NUM_FRAMES,
         num_contexts=cfg.DATA.NUM_CONTEXTS,
         projection_hidden=m.PROJECTION_SIZE,
+        remat=bool(m.get("REMAT", False)),
         num_static=e.SMART_TOKENS,
         num_dynamic=e.SMART_DYNAMIC_TOKENS,
         pool_channels=pool_channels,
@@ -251,18 +253,22 @@ class CARLModel(nn.Module):
         # params stay fp32, flax casts inside each layer, matching torch
         # autocast semantics `train.py:113`)
         bdt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
+        # MODEL.REMAT: rematerialize the trainable tail's activations
+        # (jax.checkpoint) — trades FLOPs for HBM on partial-finetune configs
+        back_cls = nn.remat(ViTBackEnd) if s.remat else ViTBackEnd
+        stages_cls = nn.remat(ResNet50Stages) if s.remat else ResNet50Stages
         if s.backbone_kind == "vit":
             fully_frozen = s.vit_frozen_blocks >= s.vit_spec.depth
             self.backbone = ViTFrontEnd(s.vit_spec, s.vit_frozen_blocks,
                                         s.tap_blocks, include_norm=fully_frozen,
                                         dtype=bdt)
-            self.res_finetune = None if fully_frozen else ViTBackEnd(
+            self.res_finetune = None if fully_frozen else back_cls(
                 s.vit_spec, s.vit_frozen_blocks, s.tap_blocks, dtype=bdt)
         else:
             self.backbone = ResNet50Trunk(s.resnet_trunk_upto, dtype=bdt)
             if s.resnet_finetune_start:
-                self.res_finetune = ResNet50Stages(s.resnet_finetune_start, 4,
-                                                   dtype=bdt)
+                self.res_finetune = stages_cls(s.resnet_finetune_start, 4,
+                                               dtype=bdt)
             else:
                 self.res_finetune = None
 
