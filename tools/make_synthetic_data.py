@@ -41,29 +41,41 @@ def make_video(rng, seq_len, h, w):
 
 
 def make_split(out_dir, split, n, rng, args):
+    from video_rep_learning_tpu.data.splits import PENN_ACTION_LIST
+
+    penn = args.dataset == "penn_action"
+    actions = PENN_ACTION_LIST[: args.num_actions] if penn else [None]
     entries = []
+    action_to_indices = [[] for _ in PENN_ACTION_LIST]
     os.makedirs(os.path.join(out_dir, "videos"), exist_ok=True)
     for i in range(n):
         seq_len = rng.randint(args.min_len, args.max_len + 1)
         frames = make_video(rng, seq_len, args.size, args.size)
-        rel = os.path.join("videos", f"{split}_{i}.{args.format}")
+        action = actions[i % len(actions)]
+        name = f"{i:04d}_{action}" if penn else f"{split}_{i}"
+        rel = os.path.join("videos", f"{split}_{name}.{args.format}")
         encode_video(os.path.join(out_dir, rel), frames, fps=25.0)
         bounds = np.sort(rng.choice(
             np.arange(1, seq_len), size=args.num_phases - 1, replace=False))
         labels = np.zeros(seq_len, np.int64)
         for k, b in enumerate(bounds):
             labels[b:] = k + 1
-        entries.append({
+        entry = {
             "id": i,
-            "name": f"{split}_{i}",
+            "name": name,
             "video_file": rel,
             "frame_label": labels,
             "seq_len": seq_len,
             "height": args.size,
             "width": args.size,
-        })
+        }
+        if penn:
+            a_idx = PENN_ACTION_LIST.index(action)
+            entry["action_label"] = a_idx
+            action_to_indices[a_idx].append(i)
+        entries.append(entry)
     with open(os.path.join(out_dir, f"{split}.pkl"), "wb") as f:
-        pickle.dump(entries, f)
+        pickle.dump((entries, action_to_indices) if penn else entries, f)
     return entries
 
 
@@ -78,6 +90,12 @@ def main(argv=None):
     p.add_argument("--num_phases", type=int, default=4)
     p.add_argument("--format", choices=["mp4", "npy"], default="mp4")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset", choices=["pouring", "penn_action"],
+                   default="pouring",
+                   help="penn_action writes the (entries, action_to_indices) "
+                        "pickle format with per-action names")
+    p.add_argument("--num_actions", type=int, default=2,
+                   help="number of PennAction actions to synthesize")
     args = p.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)

@@ -70,11 +70,12 @@ class ActionBatchSampler:
         rng = np.random.RandomState(self.seed + self.epoch)
         out = []
         n_batches = self.num_samples // self.batch_size
-        actions = list(self.dataset.action_to_indices.keys())
+        # action_to_indices is a list-of-lists indexed by action id
+        # (`penn_action.py:52`); only actions present in this subset count
+        pools = [np.asarray(p) for p in self.dataset.action_to_indices if len(p)]
         for _ in range(n_batches):
-            action = actions[rng.randint(len(actions))]
-            pool = self.dataset.action_to_indices[action]
-            out.append(np.asarray(pool)[rng.randint(0, len(pool), self.batch_size)])
+            pool = pools[rng.randint(len(pools))]
+            out.append(pool[rng.randint(0, len(pool), self.batch_size)])
         return out
 
 
