@@ -99,6 +99,13 @@ void write_rgb(VrlVideo* v, uint8_t* dst) {
 
 extern "C" {
 
+// Quiet libav logging once per process (x264 is chatty at INFO).
+namespace {
+struct LogLevelInit {
+  LogLevelInit() { av_log_set_level(AV_LOG_ERROR); }
+} g_log_level_init;
+}  // namespace
+
 // Returns an opaque handle or nullptr.
 void* vrl_open(const char* path) {
   auto* v = new (std::nothrow) VrlVideo();
