@@ -120,9 +120,14 @@ class SCL:
         steps = batch["chosen_steps"].reshape(B, V, num_frames)
         masks = batch["video_masks"].reshape(B, V, num_frames)
 
+        import os
+
         N = B * V * num_frames
-        use_fused = (self.positive_type == "gauss" and N >= 2048
-                     and jax.default_backend() == "tpu")
+        flag = os.environ.get("VRL_FUSED_SCL", "auto")  # 0 | 1 | auto
+        use_fused = (self.positive_type == "gauss"
+                     and jax.default_backend() == "tpu"
+                     and flag != "0"
+                     and (flag == "1" or N >= 2048))
         if use_fused:
             # Pallas fused kernel: no (N, N) HBM buffers (ops/scl_pallas.py)
             from ..ops.scl_pallas import scl_loss_fused
