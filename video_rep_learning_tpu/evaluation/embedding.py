@@ -56,15 +56,13 @@ def make_embed_fn(model, cfg):
     return embed_chunk
 
 
-def get_embeddings_dataset(cfg, model, variables, data_loader,
-                           embed_fn=None) -> Dict:
-    """One full pass over an EvalLoader (`evaluate.py:27-81`)."""
+def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
+    """Per-video embedding generator: yields one record per video so large
+    datasets (FineGym) can stream to disk without holding everything in RAM
+    (the reference's per-video pickling, `evaluate_finegym.py:70-131`)."""
     max_fpb = cfg.EVAL.FRAMES_PER_BATCH
     num_contexts = cfg.DATA.NUM_CONTEXTS
     embed_fn = embed_fn or make_embed_fn(model, cfg)
-
-    embs_list, labels_list, seq_lens_list = [], [], []
-    input_lens_list, steps_list, names_list = [], [], []
 
     for item in data_loader:
         video = item["video"]  # (T', H, W, 3) uint8, native resolution
@@ -105,15 +103,24 @@ def get_embeddings_dataset(cfg, model, variables, data_loader,
 
         labels = np.asarray(item["labels"])
         valid = labels >= 0
-        embs_list.append(embs[valid])
-        labels_list.append(labels[valid])
-        seq_lens_list.append(seq_len)
-        input_lens_list.append(video.shape[0])
-        steps_list.append(np.asarray(item["chosen_steps"]))
-        names_list.append(item["name"])
+        yield {"embs": embs[valid], "labels": labels[valid],
+               "seq_len": seq_len, "input_len": video.shape[0],
+               "steps": np.asarray(item["chosen_steps"]),
+               "name": item["name"]}
 
-    dataset = {"embs": embs_list, "labels": labels_list,
-               "seq_lens": seq_lens_list, "input_lens": input_lens_list,
-               "steps": steps_list, "names": names_list}
-    logger.info("embeddings_dataset size: %d", len(embs_list))
+
+def get_embeddings_dataset(cfg, model, variables, data_loader,
+                           embed_fn=None) -> Dict:
+    """One full pass over an EvalLoader (`evaluate.py:27-81`)."""
+    dataset = {"embs": [], "labels": [], "seq_lens": [], "input_lens": [],
+               "steps": [], "names": []}
+    for rec in iter_video_embeddings(cfg, model, variables, data_loader,
+                                     embed_fn):
+        dataset["embs"].append(rec["embs"])
+        dataset["labels"].append(rec["labels"])
+        dataset["seq_lens"].append(rec["seq_len"])
+        dataset["input_lens"].append(rec["input_len"])
+        dataset["steps"].append(rec["steps"])
+        dataset["names"].append(rec["name"])
+    logger.info("embeddings_dataset size: %d", len(dataset["embs"]))
     return dataset

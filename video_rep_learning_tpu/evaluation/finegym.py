@@ -40,15 +40,17 @@ DEBUG_USE_EXISTING_CACHE = False
 
 def dump_embeddings_dataset(cfg, model, variables, data_loader, output_dir,
                             embed_fn=None):
-    """Per-video embedding pickles (`evaluate_finegym.py:70-131`). Returns
-    (file list, UB_S1 one-set items for visualization — labels 74..88)."""
-    from .embedding import get_embeddings_dataset
+    """Per-video embedding pickles (`evaluate_finegym.py:70-131`): each video
+    streams straight to disk (disk is the exchange medium — FineGym does not
+    fit in RAM). Returns (file list, UB_S1 one-set items for visualization —
+    labels 74..88)."""
+    from .embedding import iter_video_embeddings
 
     os.makedirs(output_dir, exist_ok=True)
     files, oneset = [], []
-    # reuse the chunked sweep, then write per-video files
-    ds = get_embeddings_dataset(cfg, model, variables, data_loader, embed_fn)
-    for embs, labels, name in zip(ds["embs"], ds["labels"], ds["names"]):
+    for rec in iter_video_embeddings(cfg, model, variables, data_loader,
+                                     embed_fn):
+        embs, labels, name = rec["embs"], rec["labels"], rec["name"]
         safe = str(name).replace("/", "_")
         path = os.path.join(output_dir, f"{safe}.pkl")
         with open(path, "wb") as f:
@@ -56,6 +58,7 @@ def dump_embeddings_dataset(cfg, model, variables, data_loader, output_dir,
         files.append(path)
         if cfg.EVAL.CLASS_NUM == 99 and len(labels) and 74 <= int(labels[0]) <= 88:
             oneset.append({"embs": embs, "labels": labels, "name": name})
+    logger.info("dumped %d embedding files to %s", len(files), output_dir)
     return files, oneset
 
 
