@@ -1,0 +1,241 @@
+"""Golden-parity tests against the REFERENCE'S OWN torch code, imported in
+place from /root/reference (never copied). These oracles cannot share a
+misreading with this repo's implementation (VERDICT r1 #2/#4): the reference's
+`algos/scl.py`, `algos/tcc.py`, `algos/tcn.py`, and `models/utils.py` are
+pure torch/numpy modules (`scl.py:8-11`, `utils.py:3-8`).
+"""
+
+import importlib.util
+import math
+import os
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/CARL_MVF"
+
+
+def _load(relpath, name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ns(**kw):
+    out = types.SimpleNamespace()
+    for k, v in kw.items():
+        setattr(out, k, v)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_scl():
+    return _load("algos/scl.py", "ref_scl")
+
+
+@pytest.fixture(scope="module")
+def ref_tcc():
+    return _load("algos/tcc.py", "ref_tcc")
+
+
+@pytest.fixture(scope="module")
+def ref_tcn():
+    return _load("algos/tcn.py", "ref_tcn")
+
+
+@pytest.fixture(scope="module")
+def ref_mutils():
+    return _load("models/utils.py", "ref_mutils")
+
+
+def _scl_inputs(seed=0, B=2, V=2, T=10, C=16):
+    rng = np.random.RandomState(seed)
+    embs = rng.randn(B, V, T, C).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    seq_lens = rng.randint(30, 100, size=(B, V)).astype(np.float32)
+    steps = np.sort(rng.randint(0, 80, size=(B, V, T)), axis=-1).astype(np.float32)
+    masks = np.ones((B, V, T), np.float32)
+    masks[1, 0, -3:] = 0
+    return embs, seq_lens, steps, masks
+
+
+@pytest.mark.parametrize("neg", ["single_noself", "noself", "single", "batch"])
+def test_scl_loss_matches_reference_torch(ref_scl, neg):
+    from video_rep_learning_tpu.algos.scl import scl_sequence_loss
+
+    embs, seq_lens, steps, masks = _scl_inputs()
+    cfg = _ns(SCL=_ns(POSITIVE_TYPE="gauss", NEGATIVE_TYPE=neg,
+                      SOFTMAX_TEMPERATURE=0.1, LABEL_VARIENCE=10.0,
+                      POSITIVE_WINDOW=5),
+              MODEL=_ns(EMBEDDER_MODEL=_ns(EMBEDDING_SIZE=embs.shape[-1])))
+    algo = ref_scl.SCL(cfg)
+    want = algo.compute_sequence_loss(
+        torch.from_numpy(embs), torch.from_numpy(seq_lens),
+        torch.from_numpy(steps), torch.from_numpy(masks))["loss"].item()
+
+    got = float(scl_sequence_loss(
+        jnp.asarray(embs), jnp.asarray(seq_lens), jnp.asarray(steps),
+        jnp.asarray(masks), temperature=0.1, label_varience=10.0,
+        positive_type="gauss", negative_type=neg)["loss"])
+    assert math.isclose(got, want, rel_tol=1e-5), (got, want)
+
+
+def test_scl_fused_kernel_matches_reference_torch(ref_scl):
+    """The Pallas fused kernel against the reference's torch loss directly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from video_rep_learning_tpu.ops.scl_pallas import scl_loss_fused
+
+    embs, seq_lens, steps, masks = _scl_inputs(seed=3)
+    cfg = _ns(SCL=_ns(POSITIVE_TYPE="gauss", NEGATIVE_TYPE="single_noself",
+                      SOFTMAX_TEMPERATURE=0.1, LABEL_VARIENCE=10.0,
+                      POSITIVE_WINDOW=5),
+              MODEL=_ns(EMBEDDER_MODEL=_ns(EMBEDDING_SIZE=embs.shape[-1])))
+    algo = ref_scl.SCL(cfg)
+    want = algo.compute_sequence_loss(
+        torch.from_numpy(embs), torch.from_numpy(seq_lens),
+        torch.from_numpy(steps), torch.from_numpy(masks))["loss"].item()
+    with pltpu.force_tpu_interpret_mode():
+        got = float(scl_loss_fused(
+            jnp.asarray(embs), jnp.asarray(seq_lens), jnp.asarray(steps),
+            jnp.asarray(masks), 0.1, 10.0, "single_noself"))
+    assert math.isclose(got, want, rel_tol=1e-4), (got, want)
+
+
+@pytest.mark.parametrize("loss_type", ["regression_mse", "regression_mse_var",
+                                       "regression_huber", "classification"])
+@pytest.mark.parametrize("sim", ["l2", "cosine"])
+def test_tcc_loss_matches_reference_torch(ref_tcc, loss_type, sim):
+    from video_rep_learning_tpu.algos.tcc import tcc_loss
+
+    rng = np.random.RandomState(1)
+    B, T, C = 3, 8, 12
+    embs = rng.randn(B, T, C).astype(np.float32)
+    seq_lens = rng.randint(20, 60, size=(B,)).astype(np.float32)
+    steps = np.sort(rng.randint(0, 20, size=(B, T)), axis=-1).astype(np.float32)
+
+    cfg = _ns(TCC=_ns(LOSS_TYPE=loss_type, SIMILARITY_TYPE=sim,
+                      CYCLE_LENGTH=2, SOFTMAX_TEMPERATURE=0.1,
+                      LABEL_SMOOTHING=0.1, VARIANCE_LAMBDA=0.001,
+                      HUBER_DELTA=0.1, NORMALIZE_INDICES=True))
+    algo = ref_tcc.TCC(cfg)
+    algo.loss_type = loss_type
+    want = algo.compute_deterministic_alignment_loss(
+        torch.from_numpy(embs), torch.from_numpy(seq_lens),
+        torch.from_numpy(steps))["loss"].item()
+
+    got = float(tcc_loss(
+        jnp.asarray(embs), jnp.asarray(seq_lens), jnp.asarray(steps),
+        loss_type=loss_type, similarity_type=sim, temperature=0.1,
+        label_smoothing=0.1, variance_lambda=0.001, huber_delta=0.1,
+        normalize_indices=True)["loss"])
+    assert math.isclose(got, want, rel_tol=2e-4), (got, want)
+
+
+def test_tcn_loss_matches_reference_torch(ref_tcn):
+    from video_rep_learning_tpu.algos.tcn import tcn_loss
+
+    rng = np.random.RandomState(2)
+    B, T, C = 2, 12, 8
+    embs = rng.randn(B, T, C).astype(np.float32)
+    cfg = _ns(TCN=_ns(REG_LAMBDA=0.002), TRAIN=_ns(NUM_FRAMES=T))
+    algo = ref_tcn.TCN(cfg)
+    want = torch.mean(torch.stack([
+        algo.single_sequence_loss(torch.from_numpy(embs[i]), T)
+        for i in range(B)])).item()
+    got = float(tcn_loss(jnp.asarray(embs), reg_lambda=0.002)["loss"])
+    assert math.isclose(got, want, rel_tol=1e-5), (got, want)
+
+
+@pytest.mark.parametrize("disjoint", [False, True])
+def test_attention_matches_reference_torch(ref_mutils, disjoint):
+    from video_rep_learning_tpu.models.layers import scaled_dot_attention
+
+    rng = np.random.RandomState(4)
+    B, H, S, d = 2, 3, 9, 8
+    q = rng.randn(B, H, S, d).astype(np.float32)
+    k = rng.randn(B, H, S, d).astype(np.float32)
+    v = rng.randn(B, H, S, d).astype(np.float32)
+    mask = np.ones((B, 1, 1, S), np.float32)
+    mask[0, ..., -2:] = 0
+
+    want = ref_mutils.attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        torch.from_numpy(mask), None, False, disjoint).numpy()
+    got = np.asarray(scaled_dot_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        disjoint=disjoint))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_multiheaded_attention_matches_reference_torch(ref_mutils):
+    """Transplant the torch module's weights into the flax module and compare
+    outputs (`models/utils.py:47-108`)."""
+    from video_rep_learning_tpu.models.layers import MultiheadedAttention
+
+    rng = np.random.RandomState(5)
+    B, Sq, Sk = 2, 7, 9
+    Dq, Dk, Dv, H = 24, 16, 16, 4
+    Q = rng.randn(B, Sq, Dq).astype(np.float32)
+    K = rng.randn(B, Sk, Dk).astype(np.float32)
+    V = rng.randn(B, Sk, Dv).astype(np.float32)
+    mask = np.ones((B, 1, Sk), np.float32)
+    mask[1, 0, -3:] = 0
+
+    tmod = ref_mutils.MultiheadedAttention(Dq, Dk, Dv, H).eval()
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(Q), torch.from_numpy(K),
+                    torch.from_numpy(V), torch.from_numpy(mask)).numpy()
+
+    jmod = MultiheadedAttention(Dq, Dk, Dv, H)
+    params = jmod.init(jax.random.key(0), jnp.asarray(Q), jnp.asarray(K),
+                       jnp.asarray(V), mask=jnp.asarray(mask))["params"]
+
+    def put(dst_name, tlin):
+        params[dst_name]["Dense_0"]["kernel"] = jnp.asarray(
+            tlin.weight.detach().numpy().T)
+        params[dst_name]["Dense_0"]["bias"] = jnp.asarray(
+            tlin.bias.detach().numpy())
+
+    put("linear_Q2d", tmod.linear_Q2d)
+    put("linear_K2d", tmod.linear_K2d)
+    put("linear_V2d", tmod.linear_V2d)
+    put("linear_d2Q", tmod.linear_d2Q)
+
+    got = np.asarray(jmod.apply({"params": params}, jnp.asarray(Q),
+                                jnp.asarray(K), jnp.asarray(V),
+                                mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+def test_sincos_embedding_matches_reference_torch(ref_mutils):
+    from video_rep_learning_tpu.models.layers import sincos_embedding
+
+    for seq_len, train_len in [(16, None), (16, 40), (40, 16)]:
+        want = ref_mutils.generate_sincos_embedding(seq_len, 32, train_len).numpy()
+        got = np.asarray(sincos_embedding(seq_len, 32, train_len))
+        # the reference computes in float64 numpy; ours is fp32 on device
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_positional_encoder_matches_reference_torch(ref_mutils):
+    from video_rep_learning_tpu.models.layers import PositionalEncoder
+
+    rng = np.random.RandomState(6)
+    d_model, train_len = 32, 20
+    for S in (20, 50):  # == train_len (arange) and != (interpolated)
+        x = rng.randn(2, S, d_model).astype(np.float32)
+        tmod = ref_mutils.PositionalEncoder(None, d_model, 0.0,
+                                            seq_len=train_len).eval()
+        with torch.no_grad():
+            want = tmod(torch.from_numpy(x)).numpy()
+        jmod = PositionalEncoder(d_model, 0.0, seq_len=train_len)
+        got = np.asarray(jmod.apply({}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)

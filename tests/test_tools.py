@@ -17,10 +17,40 @@ def test_dtw_alignment():
     x = np.linspace(0, 1, 12)[:, None]
     y = np.linspace(0, 1, 8)[:, None]
     dist, cost, acc, (px, py) = dtw(x, y)
-    assert dist < 0.01
     assert px[0] == 0 and py[0] == 0
     assert px[-1] == 11 and py[-1] == 7
     assert (np.diff(px) >= 0).all() and (np.diff(py) >= 0).all()
+
+
+def test_dtw_golden_vs_reference():
+    """Distance, matrices, AND traceback path (incl. tie-breaks) must equal
+    the reference's vendored DTW, imported in place from /root/reference."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_dtw", "/root/reference/CARL_MVF/utils/dtw.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from video_rep_learning_tpu.utils.dtw import dtw
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (rng.rand(12, 4), rng.rand(8, 4)),
+        (rng.rand(5, 2), rng.rand(17, 2)),
+        (rng.randint(0, 3, (10, 1)).astype(float),
+         rng.randint(0, 3, (10, 1)).astype(float)),  # plenty of ties
+        (rng.rand(1, 3), rng.rand(6, 3)),  # single-row special case
+        (rng.rand(6, 3), rng.rand(1, 3)),  # single-col special case
+    ]
+    for x, y in cases:
+        d0, c0, a0, (p0, q0) = ref.dtw(x, y, "sqeuclidean")
+        d1, c1, a1, (p1, q1) = dtw(x, y, "sqeuclidean")
+        assert np.isclose(d0, d1), (d0, d1)
+        np.testing.assert_allclose(c0, c1)
+        np.testing.assert_allclose(a0, a1)
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
 
 
 def test_align_nn_and_dtw():

@@ -137,14 +137,17 @@ def train_linear_probe(cfg, train_files, val_files, fraction, cur_epoch,
         logits = x @ params["w"] + params["b"]
         return jnp.sum((jnp.argmax(logits, 1) == y) * mask)
 
-    def batches(files, shuffle, epoch):
+    def batches(files, shuffle, epoch, drop_last):
         idx = np.arange(len(files))
         if shuffle:
             np.random.RandomState(cfg.RNG_SEED + epoch).shuffle(idx)
         # shard across processes, pad to multiple
         per = -(-len(idx) // nproc)
         idx = np.concatenate([idx, idx[: per * nproc - len(idx)]])[rank::nproc]
-        for s in range(0, len(idx) - batch_videos + 1, batch_videos):
+        # train mirrors the reference's drop_last=True loader; val keeps the
+        # tail so EVERY video counts (`evaluate_finegym.py:192,199`)
+        stop = len(idx) - batch_videos + 1 if drop_last else len(idx)
+        for s in range(0, stop, batch_videos):
             batch_idx = idx[s:s + batch_videos]
             xs, ys = [], []
             for i in batch_idx:
@@ -166,7 +169,8 @@ def train_linear_probe(cfg, train_files, val_files, fraction, cur_epoch,
     for e in range(total_e):
         lr = lr0 * (1 + math.cos(math.pi * e / (1.0 * total_e))) / 2
         correct = total = 0.0
-        for x, y, mask in batches(train_files, shuffle=True, epoch=e):
+        for x, y, mask in batches(train_files, shuffle=True, epoch=e,
+                                  drop_last=True):
             params, opt_state, c = probe_step(params, opt_state, x, y, mask, lr)
             correct += float(c)
             total += float(mask.sum())
@@ -178,7 +182,8 @@ def train_linear_probe(cfg, train_files, val_files, fraction, cur_epoch,
                         e, total_e, fraction, train_accuracy, correct, total)
 
         correct = total = 0.0
-        for x, y, mask in batches(val_files, shuffle=False, epoch=0):
+        for x, y, mask in batches(val_files, shuffle=False, epoch=0,
+                                  drop_last=False):
             correct += float(eval_correct(params, x, y, mask))
             total += float(mask.sum())
         correct = all_reduce_sum(correct)

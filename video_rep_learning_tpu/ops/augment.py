@@ -152,9 +152,23 @@ def adjust_brightness(video, factor):
     return jnp.clip(video * factor, 0.0, 1.0)
 
 
-def adjust_contrast(video, factor):
-    # torchvision: blend with the mean of the grayscale image (per frame)
-    mean = jnp.mean(_rgb_to_gray(video)[..., 0], axis=(1, 2), keepdims=True)[..., None]
+def adjust_contrast(video, factor, dims=None):
+    # torchvision: blend with the mean of the grayscale image (per frame).
+    # With dims=(h, w) the mean covers only the true extent inside a padded
+    # canvas — the reference jitters unpadded tensors (`data_augment.py:416`),
+    # so its mean never sees padding.
+    gray = _rgb_to_gray(video)[..., 0]
+    if dims is None:
+        mean = jnp.mean(gray, axis=(1, 2), keepdims=True)[..., None]
+    else:
+        T, H, W, _ = video.shape
+        h = jnp.asarray(dims[0], video.dtype)
+        w = jnp.asarray(dims[1], video.dtype)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        mask = ((ys < h) & (xs < w)).astype(video.dtype)
+        mean = (jnp.sum(gray * mask, axis=(1, 2), keepdims=True)
+                / jnp.maximum(jnp.sum(mask), 1.0))[..., None]
     return jnp.clip(video * factor + mean * (1.0 - factor), 0.0, 1.0)
 
 
@@ -324,9 +338,13 @@ def eval_augment(video, image_size: int = 224, dims=None):
     return color_normalization(video)
 
 
-def supervised_augment(key, video, aug_cfg, image_size: int = 224):
+def supervised_augment(key, video, aug_cfg, image_size: int = 224, dims=None):
     """The non-SSL training recipe (`data_augment.py:416-441`): always-on
-    b/c/h/s jitters with U[1-v, 1+v] factors, then RRC + flip p=.5."""
+    b/c/h/s jitters with U[1-v, 1+v] factors, then RRC + flip p=.5.
+
+    dims: optional true (h, w) extent inside a padded decode canvas — the
+    RRC box (and the contrast mean) are computed against the true extent,
+    never the padding (the reference operates on unpadded tensors)."""
     kb, kc, kh, ks, k_crop, k_flip = jax.random.split(key, 6)
     if aug_cfg.BRIGHTNESS:
         f = 1.0 + jax.random.uniform(kb, (), minval=-aug_cfg.BRIGHTNESS_MAX_DELTA,
@@ -335,7 +353,7 @@ def supervised_augment(key, video, aug_cfg, image_size: int = 224):
     if aug_cfg.CONTRAST:
         f = 1.0 + jax.random.uniform(kc, (), minval=-aug_cfg.CONTRAST_MAX_DELTA,
                                      maxval=aug_cfg.CONTRAST_MAX_DELTA)
-        video = adjust_contrast(video, f)
+        video = adjust_contrast(video, f, dims=dims)
     if aug_cfg.HUE:
         f = jax.random.uniform(kh, (), minval=-aug_cfg.HUE_MAX_DELTA,
                                maxval=aug_cfg.HUE_MAX_DELTA)
@@ -345,7 +363,13 @@ def supervised_augment(key, video, aug_cfg, image_size: int = 224):
                                      maxval=aug_cfg.SATURATION_MAX_DELTA)
         video = adjust_saturation(video, f)
     if aug_cfg.RANDOM_CROP:
-        video = random_resized_crop(k_crop, video, image_size)
+        video = random_resized_crop(k_crop, video, image_size, dims=dims)
+    elif dims is not None:
+        # no random crop: resample the TRUE extent (not the padded canvas)
+        # to the output size — equivalent to the reference's resize of the
+        # unpadded frame
+        video = crop_resize(video, 0.0, 0.0, jnp.asarray(dims[0], jnp.float32),
+                            jnp.asarray(dims[1], jnp.float32), image_size)
     if aug_cfg.RANDOM_FLIP:
         video = jnp.where(jax.random.uniform(k_flip, ()) < 0.5,
                           hflip(video), video)

@@ -171,15 +171,18 @@ class Trainer:
             if vids.dtype == jnp.uint8:
                 vids = vids.astype(jnp.float32) / 255.0
             dims = batch.get("dims")
+            if dims is None:  # no canvas padding: true extent is the frame
+                H, W = vids.shape[-3], vids.shape[-2]
+                dims = jnp.tile(jnp.asarray([H, W], jnp.float32), (B, 1))
 
             def one(k, v, hw):
-                # supervised recipe ignores canvas dims for photometrics;
-                # geometric ops use true extent
-                out = supervised_augment(k, v, cfg.AUGMENTATION, cfg.IMAGE_SIZE)
-                return out
+                # true (h, w) extent threads into the RRC box + contrast mean
+                # so the crop never samples canvas padding (the reference
+                # augments unpadded tensors, `data_augment.py:416-441`)
+                return supervised_augment(k, v, cfg.AUGMENTATION,
+                                          cfg.IMAGE_SIZE, dims=(hw[0], hw[1]))
 
-            videos = jax.vmap(one)(keys, vids,
-                                   dims if dims is not None else jnp.zeros((B, 2)))
+            videos = jax.vmap(one)(keys, vids, dims)
         return videos
 
     def build_train_step(self):
@@ -231,7 +234,9 @@ class Trainer:
             variables = {"params": params, "batch_stats": state["batch_stats"]}
             loss_dict, _ = algo.compute_loss(model, variables, step_batch,
                                              train=False)
-            return _nan_to_zero(loss_dict)
+            # augmented videos are returned for the TB video panel
+            # (`train.py:217-224`); they stay device-side unless fetched
+            return _nan_to_zero(loss_dict), videos
 
         return val_step
 
@@ -325,17 +330,42 @@ class Trainer:
             self._val_step = self.build_val_step()
         data_size = len(self.val_loader)
         total_loss: Dict[str, float] = {}
+        last_videos = last_names = None
         for cur_iter, batch in enumerate(self.val_loader):
             dev_batch = self._device_batch(batch)
             key = jax.random.fold_in(self._base_key, 10_000_000 + cur_iter)
-            loss_dict = jax.device_get(self._val_step(self.state, dev_batch, key))
+            loss_dict, videos = self._val_step(self.state, dev_batch, key)
+            loss_dict = jax.device_get(loss_dict)
+            last_videos, last_names = videos, batch.get("names")
             for k, v in loss_dict.items():
                 total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
+        self._log_val_video_panels(last_videos, last_names)
         if self.summary_writer is not None:
             for k, v in total_loss.items():
                 self.summary_writer.add_scalar(f"val/{k}", v, epoch)
         logger.info("epoch %d, val loss: %.3f", epoch, total_loss.get("loss", 0.0))
         return total_loss
+
+    def _log_val_video_panels(self, videos, names):
+        """TB video panels of the last val batch's augmented views
+        (`train.py:217-224`: single-process gate, first batch item, every 2nd
+        frame, unnormalized; the analogous train-loop panel at
+        `train.py:163-168` is commented out in the reference)."""
+        if (self.summary_writer is None or videos is None
+                or jax.process_count() != 1):
+            return
+        from ..data import unnorm
+
+        item = np.asarray(jax.device_get(videos))[0]  # (V, T, S, S, 3) | (T, S, S, 3)
+        tag = f"{tuple(names)}" if names is not None else "val_batch"
+        if self.cfg.SSL:
+            for i, view in enumerate(item):
+                arr = unnorm(view[::2].transpose(0, 3, 1, 2))
+                self.summary_writer.add_video(f"{tag}_view{i}", arr[None], 0,
+                                              fps=4)
+        else:
+            arr = unnorm(item[::2].transpose(0, 3, 1, 2))
+            self.summary_writer.add_video(tag, arr[None], 0, fps=4)
 
     # -- full fit loop (`train.py:309-339`) -------------------------------
 

@@ -47,6 +47,12 @@ class SummaryWriter:
     def add_video(self, tag: str, video, step: int, fps: int = 4):
         if self._tb is not None:
             try:
+                import numpy as _np
+
+                if isinstance(video, _np.ndarray):
+                    import torch as _torch
+
+                    video = _torch.from_numpy(_np.ascontiguousarray(video))
                 self._tb.add_video(tag, video, step, fps=fps)
             except Exception:
                 pass
