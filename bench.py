@@ -1,15 +1,31 @@
 #!/usr/bin/env python
-"""Throughput benchmark: full SCL training step (on-device augmentation +
-frozen ResNet-50 backbone + temporal transformer + SCL loss + backward +
-Adam) on the CARL Pouring workload shape (`configs/scl_transformer_config.yml`:
-batch 1 clip x 2 views x 240 frames @ 224px, bf16 compute).
+"""Throughput benchmark: full training-step throughput on the two flagship
+workloads:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. CARL (`configs/scl_transformer_config.yml` shape): on-device augmentation
+   + frozen ResNet-50 backbone + temporal transformer + SCL loss + backward
+   + Adam; 1 clip x 2 views x 240 frames @ 224px, bf16 compute.
+2. MV-Former (`configs_mvf/penn_mvf.yml` shape): frozen DINO ViT-B/8 with
+   multi-layer taps 3/7/11, LSTP (3 entity tokens), multi-entity temporal
+   transformer; 1 clip x 2 views x 80 frames @ 224px, bf16 compute.
 
-`vs_baseline` is measured against the reference-throughput anchor recorded in
-BASELINE.md (the repository publishes no numbers — SURVEY.md §6; the anchor
-is an estimated A100+AMP reference rate of 8 clips/sec/chip for this
-workload until the reference can be profiled directly).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary (CARL) metric plus "mvf_*" keys for the MV-Former workload.
+
+Reference anchors (the repository publishes no numbers — SURVEY.md §6, so
+these are derived estimates, deliberately favoring the reference):
+- CARL: 8 clips/s/chip. The backbone dominates: 480 frozen ResNet-50 frames
+  @224px/step. MLPerf-class A100 ResNet-50 fp16 inference is ~2500 frames/s
+  => ~5.2 clips/s for the backbone sweep alone; granting the reference
+  perfect overlap of its GPU augmentation, temporal head, SCL loss, backward
+  and optimizer, we round UP to 8.
+- MV-Former: 4 clips/s/chip. ViT-B/8 is ~156 GFLOP/frame (785 tokens);
+  160 frames/step ~= 25 TFLOP. At an optimistic 50% of A100's 312 TFLOP/s
+  fp16 peak for the full mixed step: ~6.3 steps/s for the backbone alone,
+  discounted to 4 for the LSTP/encoder/loss/backward tail the reference runs
+  in fp32-autocast mix.
+These stay until the reference can be profiled on real hardware
+(BASELINE.md records the derivation and the measured history).
 """
 
 import json
@@ -21,17 +37,57 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REFERENCE_ANCHOR_CLIPS_PER_SEC = 8.0
+CARL_ANCHOR_CLIPS_PER_SEC = 8.0
+MVF_ANCHOR_CLIPS_PER_SEC = 4.0
 
 
-def main():
+def _measure(cfg, n_steps, raw):
+    """Build a trainer for cfg and time the jitted train step. Synchronizes
+    by READING the chained loss value — on relay-backed PJRT plugins
+    block_until_ready can return before device execution completes."""
     import jax
 
-    from video_rep_learning_tpu.config import get_cfg
     from video_rep_learning_tpu.parallel.mesh import create_mesh, shard_batch
     from video_rep_learning_tpu.train.trainer import Trainer
 
-    on_tpu = jax.default_backend() == "tpu"
+    mesh = create_mesh()
+    trainer = Trainer(cfg, no_eval=True, build_loaders=False, mesh=mesh)
+    trainer.init_state()
+    step = trainer.build_train_step()
+
+    B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.NUM_FRAMES
+    rng = np.random.RandomState(0)
+    batch = {
+        "videos": rng.randint(0, 255, size=(B, 2, T, raw, raw, 3)).astype(np.uint8),
+        "labels": np.zeros((B, 2, T), np.int32),
+        "seq_lens": np.full((B, 2), 4 * T, np.int32),
+        "chosen_steps": np.tile(np.arange(T, dtype=np.int32) * 4, (B, 2, 1)),
+        "video_masks": np.ones((B, 2, T), np.float32),
+        "dims": np.full((B, 2), float(raw), np.float32),
+    }
+    dev_batch = shard_batch(mesh, batch)
+    key = jax.random.key(0)
+
+    state = trainer.state
+    for i in range(2):  # warmup / compile
+        state, loss = step(state, dev_batch, jax.random.fold_in(key, i),
+                           False, 1e-4)
+    float(loss["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, dev_batch, jax.random.fold_in(key, 100 + i),
+                           False, 1e-4)
+    # single value read at the end: the data dependency through the chained
+    # state forces every step to have executed before this returns
+    float(loss["loss"])
+    dt = time.perf_counter() - t0
+    ndev = mesh.devices.size
+    return (B * n_steps) / dt / ndev
+
+
+def carl_cfg(on_tpu):
+    from video_rep_learning_tpu.config import get_cfg
 
     cfg = get_cfg()
     cfg.DATASETS = ["pouring"]
@@ -51,53 +107,66 @@ def main():
         e.CAPACITY_SCALAR = 1
         cfg.MODEL.PROJECTION_SIZE = 16
     cfg.EVAL.NUM_FRAMES = cfg.TRAIN.NUM_FRAMES
+    return cfg
 
-    mesh = create_mesh()
-    trainer = Trainer(cfg, no_eval=True, build_loaders=False, mesh=mesh)
-    trainer.init_state()
-    step = trainer.build_train_step()
 
-    B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.NUM_FRAMES
-    raw = 256 if on_tpu else 40  # decode canvas before on-device augmentation
-    rng = np.random.RandomState(0)
-    batch = {
-        "videos": rng.randint(0, 255, size=(B, 2, T, raw, raw, 3)).astype(np.uint8),
-        "labels": np.zeros((B, 2, T), np.int32),
-        "seq_lens": np.full((B, 2), 4 * T, np.int32),
-        "chosen_steps": np.tile(np.arange(T, dtype=np.int32) * 4, (B, 2, 1)),
-        "video_masks": np.ones((B, 2, T), np.float32),
-        "dims": np.full((B, 2), float(raw), np.float32),
-    }
-    dev_batch = shard_batch(mesh, batch)
-    key = jax.random.key(0)
+def mvf_cfg(on_tpu):
+    """The `configs_mvf/penn_mvf.yml` workload shape."""
+    from video_rep_learning_tpu.config import get_cfg
 
-    # warmup / compile. NOTE: we synchronize by READING the loss value each
-    # step (device->host transfer) — on relay-backed PJRT plugins
-    # block_until_ready can return before device execution completes, which
-    # would make the measurement meaningless.
-    state = trainer.state
-    for i in range(2):
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, i),
-                           False, 1e-4)
-    float(loss["loss"])
+    cfg = get_cfg()
+    cfg.DATASETS = ["baseball_pitch"]
+    cfg.TRAINING_ALGO = "scl"
+    cfg.USE_AMP = True
+    cfg.TRAIN.BATCH_SIZE = 1
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.SMART_TOKENS = 3
+    e.SMART_ONE_HOT = "pool"
+    e.SMART_FEATS = "3,7,11"
+    e.SMART_FINAL = "one"
+    if on_tpu:
+        cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_base_patch8_224.dino"
+        cfg.MODEL.BASE_MODEL.LAYER = 12  # fully frozen
+        cfg.TRAIN.NUM_FRAMES = 80
+        cfg.IMAGE_SIZE = 224
+        # pure memory knob on TPU (reference uses 40 for GPU memory reasons)
+        cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 160
+    else:
+        cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+        cfg.MODEL.BASE_MODEL.LAYER = 3
+        cfg.TRAIN.NUM_FRAMES = 4
+        cfg.IMAGE_SIZE = 32
+        cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+        e.SMART_POOL_CHANNELS = 32
+        e.HIDDEN_SIZE = 32
+        e.D_FF = 64
+        e.NUM_LAYERS = 1
+        e.EMBEDDING_SIZE = 16
+        e.FC_LAYERS = [[32, True]]
+        e.CAPACITY_SCALAR = 1
+        e.SMART_FEATS = None
+        cfg.MODEL.PROJECTION_SIZE = 16
+    cfg.EVAL.NUM_FRAMES = cfg.TRAIN.NUM_FRAMES
+    return cfg
 
-    n_steps = 8 if on_tpu else 2
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, 100 + i),
-                           False, 1e-4)
-    # single value read at the end: the data dependency through the chained
-    # state forces every step to have executed before this returns
-    float(loss["loss"])
-    dt = time.perf_counter() - t0
 
-    ndev = mesh.devices.size
-    clips_per_sec_per_chip = (B * n_steps) / dt / ndev
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    carl = _measure(carl_cfg(on_tpu), 8 if on_tpu else 2,
+                    raw=256 if on_tpu else 40)
+    mvf = _measure(mvf_cfg(on_tpu), 8 if on_tpu else 2,
+                   raw=256 if on_tpu else 40)
     result = {
         "metric": "scl_train_clips_per_sec_per_chip",
-        "value": round(clips_per_sec_per_chip, 4),
+        "value": round(carl, 4),
         "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec_per_chip / REFERENCE_ANCHOR_CLIPS_PER_SEC, 4),
+        "vs_baseline": round(carl / CARL_ANCHOR_CLIPS_PER_SEC, 4),
+        "mvf_metric": "mvf_train_clips_per_sec_per_chip",
+        "mvf_value": round(mvf, 4),
+        "mvf_vs_baseline": round(mvf / MVF_ANCHOR_CLIPS_PER_SEC, 4),
     }
     print(json.dumps(result))
 

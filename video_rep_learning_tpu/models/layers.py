@@ -93,12 +93,16 @@ def scaled_dot_attention(q, k, v, mask=None, disjoint: bool = False,
     return out
 
 
-def _flash_eligible(seq_len_k: int, mask, batch_heads: int = 1) -> bool:
-    """Use the Pallas flash kernel on TPU when the materialized (B*H, S, S)
-    score tensor would be large enough to hurt (memory/HBM traffic). At the
-    model family's typical shapes (d_head 32-64) XLA's fused attention is
-    faster, so flash is a memory valve, not a default. Override with
-    VRL_FLASH_ATTENTION=0/1."""
+def _flash_eligible(seq_len_k: int, mask, batch_heads: int = 1,
+                    seq_len_q: Optional[int] = None,
+                    d_head: Optional[int] = None) -> bool:
+    """Use the Pallas flash kernel on TPU. Measured on v5e (r2,
+    tools/bench_attention.py): the fused VMEM-resident kernel beats XLA's
+    attention at every model-family shape — ViT-B/8 785 tokens 1.4x fwd,
+    MVF/CARL encoders 240-1440 tokens 1.1-9x fwd+bwd — so flash is the
+    DEFAULT for self-attention-sized sequences. Tiny-query cross-attention
+    (LSTP: ntok queries) stays on the XLA path where lane padding would
+    dominate. Override with VRL_FLASH_ATTENTION=0/1."""
     import os
 
     flag = os.environ.get("VRL_FLASH_ATTENTION", "auto")
@@ -110,8 +114,10 @@ def _flash_eligible(seq_len_k: int, mask, batch_heads: int = 1) -> bool:
         return False
     if flag == "1":
         return True
-    scores_bytes = 2 * batch_heads * seq_len_k * seq_len_k
-    return scores_bytes > 2 * 1024 ** 3  # > 2 GB of attention scores
+    if d_head is not None and d_head > 256:
+        return False
+    sq = seq_len_k if seq_len_q is None else seq_len_q
+    return sq >= 128 and seq_len_k >= 128
 
 
 class MultiheadedAttention(nn.Module):
@@ -146,7 +152,8 @@ class MultiheadedAttention(nn.Module):
         v = shard_heads(v.reshape(B, -1, self.H, d_k).transpose(0, 2, 1, 3))
 
         out = None
-        if _flash_eligible(k.shape[2], mask, batch_heads=B * self.H):
+        if _flash_eligible(k.shape[2], mask, batch_heads=B * self.H,
+                           seq_len_q=q.shape[2], d_head=d_k):
             from ..ops.attention_pallas import mha_with_flash
 
             kv_mask = None if mask is None else mask[:, 0]  # (B, Sk)

@@ -63,6 +63,28 @@ VIT_SPECS = {
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class TpuLayerNorm(nn.Module):
+    """nn.LayerNorm drop-in (same `scale`/`bias` param names for checkpoint
+    import) backed by the single-HBM-pass Pallas kernel on TPU
+    (ops/layernorm_pallas.py); identical fp32-statistics math off-TPU."""
+
+    epsilon: float = 1e-6
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        from ..ops.layernorm_pallas import fused_layernorm
+
+        orig = x.shape
+        if x.ndim != 3:
+            x = x.reshape((-1,) + orig[-2:]) if x.ndim > 3 else x[None]
+        y = fused_layernorm(x, scale, bias, self.epsilon)
+        return y.reshape(orig)
+
+
 class ViTAttention(nn.Module):
     dim: int
     num_heads: int
@@ -78,6 +100,26 @@ class ViTAttention(nn.Module):
         # to fuse than a (3, ...) moveaxis split
         D = self.dim
 
+        from ..parallel.sharding import tensor_context
+        from ..models.layers import _flash_eligible
+
+        from ..ops.attention_pallas import (packed_vit_attention,
+                                            packed_vit_eligible)
+
+        head_sharded = tensor_context() is not None
+        if (not head_sharded
+                and packed_vit_eligible(self.num_heads, head_dim)
+                and _flash_eligible(N, None, batch_heads=B * self.num_heads,
+                                    d_head=head_dim)):
+            # packed-QKV Pallas kernel: consumes the (B, N, 3D) projection
+            # output directly — no head transposes, no lane padding, no
+            # (N, N) score tensor in HBM. The hot path for ViT-B/8's
+            # 785-token frames (SURVEY.md §5).
+
+            out = packed_vit_attention(qkv, self.num_heads)
+            return nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
+                            name="proj")(out)
+
         def split(s):
             return s.reshape(B, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
@@ -87,11 +129,8 @@ class ViTAttention(nn.Module):
         k = shard_heads(split(qkv[..., D:2 * D]))
         v = shard_heads(split(qkv[..., 2 * D:]))
 
-        from ..models.layers import _flash_eligible
-
-        if _flash_eligible(N, None, batch_heads=B * self.num_heads):
-            # Pallas flash kernel: no (N, N) score tensor in HBM — the hot
-            # path for ViT-B/8's 785-token frames (SURVEY.md §5)
+        if _flash_eligible(N, None, batch_heads=B * self.num_heads,
+                           d_head=head_dim):
             from ..ops.attention_pallas import mha_with_flash
 
             out = mha_with_flash(q, k, v, None)
@@ -115,10 +154,10 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
                              name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02,
                      dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
@@ -171,7 +210,7 @@ class ViTFrontEnd(nn.Module):
                 taps.append(x)
         if not self.include_norm:
             return x
-        normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        normed = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
         feats = jnp.concatenate(taps, axis=2) if taps else None
         return feats, cls_out
@@ -197,7 +236,7 @@ class ViTBackEnd(nn.Module):
                          dtype=self.dtype, name=f"block{i}")(x)
             if i in self.tap_blocks:
                 taps.append(x)
-        normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        normed = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = normed[:, 0]  # global_pool='token', head=Identity (DINO)
         feats = jnp.concatenate(taps, axis=2) if taps else x
         return feats, cls_out

@@ -35,6 +35,13 @@ def set_tensor_context(mesh: Optional[Mesh], axis: Optional[str]) -> None:
     _CTX["axis"] = axis
 
 
+def tensor_context():
+    """The active tensor-parallel mesh, or None (pure DP)."""
+    if _CTX["mesh"] is None or _CTX["axis"] is None:
+        return None
+    return _CTX["mesh"]
+
+
 def tensor_axis_size() -> int:
     if _CTX["mesh"] is None or _CTX["axis"] is None:
         return 1
