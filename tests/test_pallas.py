@@ -141,6 +141,16 @@ def test_flash_attention_bf16():
                                    atol=0.08)
 
 
+def test_packed_vit_eligibility_budget():
+    from video_rep_learning_tpu.ops.attention_pallas import packed_vit_eligible
+
+    # ViT-B/8 (12 heads x 64): bf16 fits the VMEM budget, fp32 does not
+    assert packed_vit_eligible(12, 64, 785, 2)
+    assert not packed_vit_eligible(12, 64, 785, 4)
+    # odd head grouping (lane alignment unprovable) is ineligible
+    assert not packed_vit_eligible(3, 64, 785, 2)
+
+
 def test_packed_vit_attention_matches_reference():
     """The packed-QKV ViT kernel (no head transposes) == reference MHA."""
     from video_rep_learning_tpu.ops.attention_pallas import (

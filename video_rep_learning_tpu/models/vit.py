@@ -108,7 +108,8 @@ class ViTAttention(nn.Module):
 
         head_sharded = tensor_context() is not None
         if (not head_sharded
-                and packed_vit_eligible(self.num_heads, head_dim)
+                and packed_vit_eligible(self.num_heads, head_dim, N,
+                                        qkv.dtype.itemsize)
                 and _flash_eligible(N, None, batch_heads=B * self.num_heads,
                                     d_head=head_dim)):
             # packed-QKV Pallas kernel: consumes the (B, N, 3D) projection

@@ -422,8 +422,17 @@ def _packed_heads_per_program(num_heads: int, dh: int):
     return hp if num_heads % hp == 0 else None
 
 
-def packed_vit_eligible(num_heads: int, dh: int) -> bool:
-    return _packed_heads_per_program(num_heads, dh) is not None
+def packed_vit_eligible(num_heads: int, dh: int, N: int = 0,
+                        itemsize: int = 2) -> bool:
+    if _packed_heads_per_program(num_heads, dh) is None:
+        return False
+    # VMEM budget: double-buffered (N, 3D) input + (N, D) output + fp32
+    # score tile. fp32 ViT-B/8 (no-AMP) overflows -> standard flash path.
+    D = num_heads * dh
+    Np = _round_up(max(N, 1), 8)
+    need = (2 * Np * 3 * D * itemsize + Np * D * itemsize
+            + Np * _round_up(Np, _LANES) * 4)
+    return need <= 14 * 1024 * 1024
 
 
 def _packed_kernel(qkv_ref, o_ref, *, hp, dh, D, sm_scale):
