@@ -141,6 +141,35 @@ def test_flash_attention_bf16():
                                    atol=0.08)
 
 
+def test_fused_photometric_augment_matches_jnp_pipeline():
+    """The fused photometric kernel path == the jnp ssl_augment path for the
+    SAME key (identical RNG consumption), across several seeds so every
+    branch (jitter on/off, blur, gray, flip) gets exercised."""
+    from video_rep_learning_tpu.ops.augment import (AugmentParams,
+                                                    fused_ssl_batch_augment,
+                                                    ssl_augment)
+
+    p = AugmentParams(image_size=32)
+    rng = np.random.RandomState(8)
+    videos = rng.randint(0, 255, size=(1, 2, 2, 40, 44, 3)).astype(np.uint8)
+    dims = jnp.asarray([[40.0, 44.0]])
+
+    def unfused(key):
+        keys = jax.random.split(key, 2).reshape((1, 2) + key.shape)
+        v = jnp.asarray(videos).astype(jnp.float32) / 255.0
+        vdims = jnp.broadcast_to(dims[:, None, :], (1, 2, 2))
+        return jax.vmap(jax.vmap(
+            lambda k, vid, hw: ssl_augment(k, vid, p, dims=(hw[0], hw[1]))
+        ))(keys, v, vdims)
+
+    for seed in range(6):
+        key = jax.random.key(seed)
+        want = np.asarray(unfused(key))
+        got = np.asarray(fused_ssl_batch_augment(key, jnp.asarray(videos),
+                                                 dims, p))
+        np.testing.assert_allclose(got, want, atol=3e-5), seed
+
+
 def test_packed_vit_eligibility_budget():
     from video_rep_learning_tpu.ops.attention_pallas import packed_vit_eligible
 

@@ -161,7 +161,18 @@ class ViTBlock(nn.Module):
         y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02,
                      dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        # Exact (erf) GELU costs ~50 ms/step of pure VPU transcendentals on
+        # the MVF workload. Under bf16 the tanh approximation's max error
+        # (~3e-3 relative at |x|~2.3) sits below the bf16 output rounding
+        # (~3.9e-3 ulp), and the torch reference's autocast runs GELU in
+        # fp16 with comparable rounding — so approximate GELU is numerically
+        # free on the AMP path. fp32 keeps exact erf (timm parity); force
+        # exact everywhere with VRL_EXACT_GELU=1.
+        import os as _os
+
+        approx = (self.dtype == jnp.bfloat16
+                  and _os.environ.get("VRL_EXACT_GELU", "0") != "1")
+        y = nn.gelu(y, approximate=approx)
         y = nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
                      name="mlp_fc2")(y)
         return x + y

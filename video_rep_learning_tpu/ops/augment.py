@@ -377,17 +377,98 @@ def supervised_augment(key, video, aug_cfg, image_size: int = 224, dims=None):
     return color_normalization(video)
 
 
+def _sample_ssl_scalars(key, p: AugmentParams):
+    """Sample every stochastic parameter of the SSL recipe for ONE view with
+    EXACTLY the key-consumption order of `ssl_augment`/`_color_jitter`, so the
+    fused-kernel path is bit-identically distributed with the jnp path.
+    Returns (rrc_key, fscal (8,), order (4,), sigma)."""
+    s = p.strength
+    k_crop, k_flip, k_jit_p, k_jit, k_blur_p, k_blur_s, k_gray = \
+        jax.random.split(key, 7)
+    kb, kc, ks, kh, kperm = jax.random.split(k_jit, 5)
+    b = c = 0.8 * s
+    h = 0.2 * s
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - c), maxval=1 + c)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fh = jax.random.uniform(kh, (), minval=-h, maxval=h)
+    order = jax.random.permutation(kperm, 4)
+    jit = jax.random.uniform(k_jit_p, ()) < p.jitter_prob
+    sigma = jax.random.uniform(k_blur_s, (), minval=0.1, maxval=2.0)
+    blur = jax.random.uniform(k_blur_p, ()) < p.blur_prob
+    gray = jax.random.uniform(k_gray, ()) < p.gray_prob
+    flip = jax.random.uniform(k_flip, ()) < p.flip_prob
+    fscal = jnp.stack([jit.astype(jnp.float32), fb, fc, fs, fh,
+                       blur.astype(jnp.float32), gray.astype(jnp.float32),
+                       flip.astype(jnp.float32)])
+    return k_crop, fscal, order, sigma
+
+
+def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
+    """TPU path of `make_ssl_batch_augment`: RRC in XLA (channel-planar
+    scale_and_translate), then the whole photometric tail — ordered jitter,
+    blur, grayscale, flip, normalize — in ONE Pallas pass per frame
+    (ops/photometric_pallas.py). The flip moves after the photometrics in
+    the kernel; every op it crosses is flip-equivariant (per-pixel maps,
+    flip-invariant means, even-symmetric blur), so outputs match the jnp
+    path exactly."""
+    from .photometric_pallas import blur_band_matrix, fused_photometric
+
+    B, V = videos.shape[0], videos.shape[1]
+    BV = B * V
+    T = videos.shape[2]
+    S = params.image_size
+    keys = jax.random.split(key, BV).reshape((B, V) + key.shape)
+    if videos.dtype == jnp.uint8:
+        videos = videos.astype(jnp.float32) / 255.0
+    if dims is None:
+        dims = jnp.tile(jnp.asarray(videos.shape[3:5], jnp.float32), (B, 1))
+    vdims = jnp.broadcast_to(dims[:, None, :], (B, V, 2)).reshape(BV, 2)
+    flat_keys = keys.reshape((BV,) + key.shape)
+    flat = videos.reshape((BV,) + videos.shape[2:])  # (BV, T, H, W, 3)
+
+    def sample_one(k, hw):
+        k_crop, fscal, order, sigma = _sample_ssl_scalars(k, params)
+        box = sample_rrc_box(k_crop, hw[0], hw[1])
+        return jnp.stack(box), fscal, order, sigma
+
+    boxes, fscal, orders, sigmas = jax.vmap(sample_one)(flat_keys, vdims)
+
+    planar = flat.transpose(0, 1, 4, 2, 3)  # (BV, T, 3, H, W)
+
+    def crop_one(v, box):
+        top, left, h, w = box[0], box[1], box[2], box[3]
+        scale = jnp.stack([S / h, S / w])
+        trans = jnp.stack([-top * S / h, -left * S / w])
+        return jax.image.scale_and_translate(
+            v, (T, 3, S, S), (2, 3), scale, trans, method="linear",
+            antialias=False)
+
+    cropped = jax.vmap(crop_one)(planar, boxes)
+    mh = jax.vmap(lambda sg: blur_band_matrix(S, 9, sg).T)(sigmas)
+    mw = jax.vmap(lambda sg: blur_band_matrix(S, 5, sg))(sigmas)
+    out = fused_photometric(cropped, fscal, orders.astype(jnp.int32), mh, mw)
+    return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
+
+
 def make_ssl_batch_augment(params: AugmentParams):
     """Batched two-view augmentation: (key, videos (B, V, T, H, W, 3) uint8 or
     float[0,1], dims (B, 2) true (h, w) inside the canvas) ->
     (B, V, T, S, S, 3) normalized float32, NHWC end-to-end (XLA:TPU's native
     layout). Mirrors `train.py:39-53` (independent params per batch item per
-    view). Intended to be called INSIDE the jitted train step so it fuses."""
+    view). Intended to be called INSIDE the jitted train step so it fuses.
+    On TPU the photometric tail runs as a fused Pallas kernel
+    (VRL_FUSED_AUGMENT=0 disables)."""
 
     def one_view(key, video, hw):
         return ssl_augment(key, video, params, dims=(hw[0], hw[1]))
 
     def batch_fn(key, videos, dims=None):
+        import os
+
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("VRL_FUSED_AUGMENT", "auto") != "0"):
+            return fused_ssl_batch_augment(key, videos, dims, params)
         B, V = videos.shape[0], videos.shape[1]
         keys = jax.random.split(key, B * V).reshape((B, V) + key.shape)
         if videos.dtype == jnp.uint8:

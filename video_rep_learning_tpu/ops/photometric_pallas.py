@@ -1,0 +1,201 @@
+"""Fused photometric augmentation kernel (Pallas, TPU).
+
+The SSL recipe's photometric tail — ColorJitter (4 ops in a random order),
+GaussianBlur, grayscale, horizontal flip, ImageNet normalize — costs ~35 ms
+of the 45 ms on-device augmentation in the CARL step when expressed as jnp:
+under `vmap`, `lax.switch`/`lax.cond` evaluate EVERY branch, so the random
+op order turns into 16 full-frame passes (four of them HSV roundtrips) and
+the p=0.4 blur always runs (`ops/augment.py:258-304`).
+
+This kernel does the whole tail in ONE HBM read + write per frame:
+- grid (B*V, T), channel-planar (3, S, S) blocks (channel-last would put
+  C=3 on the 128-lane axis);
+- per-sample scalars (jitter order, factors, apply flags, flip) ride in as
+  scalar-prefetch arrays; `lax.switch`/`lax.cond` on kernel scalars execute
+  a single branch — the random order costs exactly 4 passes in VMEM;
+- the separable gaussian blur becomes two (S, S) banded-matrix matmuls per
+  channel (reflect padding folded into the band matrices, built outside per
+  sample from the sampled sigma) — MXU work instead of vmapped convolves;
+- the contrast op's per-frame luma mean reduces in VMEM.
+
+Parameter SAMPLING stays outside in `ops/augment.py` with the exact same
+key-consumption order as the reference jnp pipeline, so fused and unfused
+paths are distribution-identical (and test-compared end to end).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# scalar-prefetch float column layout
+_F_JITTER, _F_FB, _F_FC, _F_FS, _F_FH, _F_BLUR, _F_GRAY, _F_FLIP = range(8)
+
+
+def _luma(r, g, b):
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _clip(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _brightness(x, f):
+    return _clip(x * f)
+
+
+def _contrast(x, f):
+    mean = jnp.mean(_luma(x[0], x[1], x[2]))
+    return _clip(x * f + mean * (1.0 - f))
+
+
+def _saturation(x, f):
+    gray = _luma(x[0], x[1], x[2])
+    return _clip(x * f + gray[None] * (1.0 - f))
+
+
+def _hue(x, f):
+    r, g, b = _clip(x[0]), _clip(x[1]), _clip(x[2])
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.where(delta > 0, delta, 1.0)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+
+    h = (h + f) % 1.0
+    i = jnp.floor(h * 6.0)
+    frac = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - frac * s)
+    t = v * (1.0 - (1.0 - frac) * s)
+    i = i.astype(jnp.int32) % 6
+
+    def pick(opts):
+        out = opts[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, opts[k], out)
+        return out
+
+    r2 = pick([v, q, p, p, t, v])
+    g2 = pick([t, v, v, q, p, p])
+    b2 = pick([p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2])
+
+
+def _photometric_kernel(fscal_ref, order_ref, x_ref, mh_ref, mw_ref, o_ref,
+                        *, mean, std):
+    bv = pl.program_id(0)
+    x = x_ref[0, 0].astype(jnp.float32)  # (3, S, S)
+
+    fb = fscal_ref[bv, _F_FB]
+    fc = fscal_ref[bv, _F_FC]
+    fs = fscal_ref[bv, _F_FS]
+    fh = fscal_ref[bv, _F_FH]
+
+    branches = [
+        lambda v: _brightness(v, fb),
+        lambda v: _contrast(v, fc),
+        lambda v: _saturation(v, fs),
+        lambda v: _hue(v, fh),
+    ]
+
+    def jitter(v):
+        for i in range(4):  # static unroll; switch runs ONE branch
+            v = jax.lax.switch(order_ref[bv, i], branches, v)
+        return v
+
+    x = jax.lax.cond(fscal_ref[bv, _F_JITTER] > 0, jitter, lambda v: v, x)
+
+    def blur(v):
+        mh = mh_ref[0]  # (S, S): vertical band matrix (reflect folded in)
+        mw = mw_ref[0]  # (S, S): horizontal band matrix
+        chans = [
+            jax.lax.dot(
+                jax.lax.dot(mh, v[c], preferred_element_type=jnp.float32),
+                mw, preferred_element_type=jnp.float32)
+            for c in range(3)
+        ]
+        return jnp.stack(chans)
+
+    x = jax.lax.cond(fscal_ref[bv, _F_BLUR] > 0, blur, lambda v: v, x)
+
+    def to_gray(v):
+        gray = _luma(v[0], v[1], v[2])
+        return jnp.stack([gray, gray, gray])
+
+    x = jax.lax.cond(fscal_ref[bv, _F_GRAY] > 0, to_gray, lambda v: v, x)
+
+    def flip_w(v):
+        # Mosaic has no `rev`: right-multiply by the exchange matrix
+        # (built from iota in-kernel, MXU cost is negligible)
+        S = v.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        ex = (rows + cols == S - 1).astype(jnp.float32)
+        return jnp.stack([
+            jax.lax.dot(v[c], ex, preferred_element_type=jnp.float32)
+            for c in range(3)])
+
+    x = jax.lax.cond(fscal_ref[bv, _F_FLIP] > 0, flip_w, lambda v: v, x)
+
+    # python-float constants (array constants can't be captured by kernels)
+    o_ref[0, 0] = jnp.stack(
+        [(x[c] - float(mean[c])) / float(std[c]) for c in range(3)]
+    ).astype(o_ref.dtype)
+
+
+def blur_band_matrix(size: int, ksize: int, sigma):
+    """(size, size) matrix M with M[src, dst] = gaussian weight of source row
+    `src` for output row `dst`, reflect padding folded in — so a vertical
+    blur is M^T… applied as `M_out = M_v @ x @ M_h` with this construction:
+    y[d] = sum_s M[s, d] x[s], matching torch reflect-pad conv."""
+    c = (ksize - 1) // 2
+    k = jnp.arange(ksize, dtype=jnp.float32) - c
+    w = jnp.exp(-0.5 * jnp.square(k / sigma))
+    w = w / jnp.sum(w)
+    dst = jnp.arange(size)
+    src = dst[None, :] + jnp.arange(ksize)[:, None] - c  # (K, size)
+    # reflect (torch 'reflect': -1 -> 1, size -> size-2)
+    src = jnp.where(src < 0, -src, src)
+    src = jnp.where(src >= size, 2 * (size - 1) - src, src)
+    onehots = (src[:, None, :] == jnp.arange(size)[None, :, None])  # (K, size, size)
+    return jnp.einsum("k,ksd->sd", w, onehots.astype(jnp.float32))
+
+
+def fused_photometric(videos, fscal, orders, mh, mw,
+                      mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """videos (BV, T, 3, S, S) fp32 in [0,1]; fscal (BV, 8) fp32 flags and
+    factors; orders (BV, 4) int32; mh/mw (BV, S, S) fp32 blur band matrices.
+    Returns normalized (BV, T, 3, S, S) fp32."""
+    BV, T, C, S, _ = videos.shape
+    return pl.pallas_call(
+        functools.partial(_photometric_kernel, mean=mean, std=std),
+        out_shape=jax.ShapeDtypeStruct(videos.shape, jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BV, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, C, S, S), lambda b, t, *_: (b, t, 0, 0, 0)),
+                pl.BlockSpec((1, S, S), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec((1, S, S), lambda b, t, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, C, S, S),
+                                   lambda b, t, *_: (b, t, 0, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(fscal, orders, videos, mh, mw)
