@@ -62,15 +62,19 @@ def test_hue_roundtrip_and_shift():
     np.testing.assert_allclose(shifted.max(-1), v.max(-1), atol=1e-5)
 
 
-def test_hue_matches_torchvision():
-    torch = pytest.importorskip("torch")
-    try:
-        from torchvision.transforms import functional as F  # noqa
-        have_tv = True
-    except Exception:
-        have_tv = False
-    if not have_tv:
-        pytest.skip("torchvision unavailable")
+def test_hue_matches_colorsys_oracle():
+    """Per-pixel hue shift vs the stdlib colorsys HSV roundtrip — an exact,
+    dependency-free oracle for the torchvision hue semantics."""
+    import colorsys
+
+    v = rand_video(T=2, H=4, W=5)
+    for shift in (0.1, -0.3, 0.45):
+        got = np.asarray(A.adjust_hue(jnp.asarray(v), shift))
+        want = np.empty_like(v)
+        for idx in np.ndindex(v.shape[:-1]):
+            h, s, val = colorsys.rgb_to_hsv(*v[idx])
+            want[idx] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, val)
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_gaussian_blur_preserves_mean_and_smooths():
