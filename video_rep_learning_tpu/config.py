@@ -286,6 +286,10 @@ def _defaults() -> ConfigNode:
     # >1 builds a 2-D (data, model) mesh and head-shards attention
     # (parallel/sharding.py). 1 = pure data parallelism (reference parity).
     c.PARALLEL.TENSOR_PARALLELISM = 1
+    # with TENSOR_PARALLELISM > 1: Ulysses-style sequence parallelism —
+    # token-sharded activations outside attention, head-sharded inside
+    # (all-to-alls inserted by XLA). For max-sequence configs (fg288).
+    c.PARALLEL.SEQUENCE_PARALLELISM = False
     return c
 
 

@@ -260,12 +260,19 @@ class EncoderLayer(nn.Module):
         d_ff = self.d_ff or 4 * self.d_model
         xavier = nn.initializers.xavier_uniform()
 
+        from ..parallel.sharding import shard_tokens
+
+        # Ulysses mode: LN/FFN/projections run token-sharded; attention
+        # re-shards to head-parallel (shard_heads in MultiheadedAttention) —
+        # XLA inserts the all-to-alls at the two layout switches
+        x = shard_tokens(x)
         res = nn.LayerNorm(name="norm0")(x)
         res = MultiheadedAttention(
             self.d_model, self.d_model, self.d_model, self.H,
             kernel_init=xavier, name="self_att",
         )(res, res, res, mask=src_mask, deterministic=deterministic)
-        x = x + nn.Dropout(self.dout_p)(res, deterministic=deterministic)
+        x = shard_tokens(x + nn.Dropout(self.dout_p)(res,
+                                                     deterministic=deterministic))
 
         res = nn.LayerNorm(name="norm1")(x)
         res = PositionwiseFeedForward(

@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_CTX = {"mesh": None, "axis": None}
+_CTX = {"mesh": None, "axis": None, "mode": "heads"}
 
 
 def create_mesh_2d(data: int, model: int) -> Mesh:
@@ -30,9 +30,17 @@ def create_mesh_2d(data: int, model: int) -> Mesh:
     return Mesh(devices, ("data", "model"))
 
 
-def set_tensor_context(mesh: Optional[Mesh], axis: Optional[str]) -> None:
+def set_tensor_context(mesh: Optional[Mesh], axis: Optional[str],
+                       mode: str = "heads") -> None:
+    """mode: 'heads' = head-parallel TP only (attention heads sharded, other
+    activations replicated). 'ulysses' = DeepSpeed-Ulysses-style sequence
+    parallelism: token-dim activations sharded on the model axis everywhere,
+    re-sharded to head-parallel inside attention — GSPMD inserts the
+    all-to-alls at the layout switches (the scaling-book recipe: annotate,
+    let XLA place collectives)."""
     _CTX["mesh"] = mesh
     _CTX["axis"] = axis
+    _CTX["mode"] = mode
 
 
 def tensor_context():
@@ -59,6 +67,23 @@ def shard_heads(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(None, axis, None, None)))
+
+
+def shard_tokens(x):
+    """Ulysses sequence sharding: constrain a (B, S, D) activation to be
+    token-sharded on the 'model' axis. Active only in 'ulysses' mode and
+    when S divides across the axis; no-op otherwise. Together with
+    `shard_heads` inside attention this yields the Ulysses all-to-all
+    pattern: tokens sharded for LN/FFN/projections, heads sharded for the
+    quadratic attention itself (SURVEY.md §5 stretch goal for the fg288
+    max-sequence config)."""
+    mesh, axis = _CTX["mesh"], _CTX["axis"]
+    if mesh is None or axis is None or _CTX["mode"] != "ulysses":
+        return x
+    if x.ndim != 3 or x.shape[1] % mesh.shape[axis] != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, axis, None)))
 
 
 def shard_batch_dim(x):

@@ -63,7 +63,10 @@ class Trainer:
 
             ndev = len(_jax.devices())
             self.mesh = create_mesh_2d(ndev // tp, tp)
-            set_tensor_context(self.mesh, "model")
+            mode = ("ulysses"
+                    if cfg.get_path("PARALLEL.SEQUENCE_PARALLELISM", False)
+                    else "heads")
+            set_tensor_context(self.mesh, "model", mode)
         else:
             self.mesh = create_mesh()
         self.model = build_model(cfg)
