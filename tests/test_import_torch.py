@@ -157,3 +157,136 @@ def test_vit_import_full_tree(frozen_blocks):
     out = model.apply({"params": params, "batch_stats": stats}, x, 2,
                       video_masks=masks, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _reference_carl_state_dict(cfg, seed=0):
+    """A full reference-layout `model_state` dict (`models/__init__.py:17-29`)
+    for the ResNet CARL family at LAYER=3: torchvision-canonical resnet keys
+    rewrapped as the reference's nn.Sequential `backbone.{N}` slices +
+    `res_finetune` (layer4), an `embed.*` TransformerEmbModel whose
+    video_encoder keys come from the REFERENCE'S OWN Encoder module
+    (imported in place), MLPHead projection and classifier."""
+    import importlib.util
+
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location(
+        "ref_mutils_sd", "/root/reference/CARL_MVF/models/utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(seed)
+    e = cfg.MODEL.EMBEDDER_MODEL
+    sd = {}
+
+    # backbone.{0,1,4,5,6} / res_finetune.{block} from canonical resnet keys
+    rsd = synthetic_resnet50_sd(seed)
+    seq_of = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+              "layer3": "6"}
+    for k, v in rsd.items():
+        head = k.split(".", 1)[0]
+        if head == "layer4":
+            sd["res_finetune." + k.split(".", 1)[1]] = torch.from_numpy(v)
+        else:
+            rest = k.split(".", 1)[1]
+            sd[f"backbone.{seq_of[head]}.{rest}"] = torch.from_numpy(v)
+
+    def lin(prefix, i, o):
+        sd[prefix + ".weight"] = torch.from_numpy(
+            rng.randn(o, i).astype(np.float32) * 0.05)
+        sd[prefix + ".bias"] = torch.from_numpy(
+            rng.randn(o).astype(np.float32) * 0.05)
+
+    def bn1d(prefix, c):
+        sd[prefix + ".weight"] = torch.from_numpy(
+            1 + 0.1 * rng.randn(c).astype(np.float32))
+        sd[prefix + ".bias"] = torch.from_numpy(
+            0.1 * rng.randn(c).astype(np.float32))
+        sd[prefix + ".running_mean"] = torch.from_numpy(
+            0.1 * rng.randn(c).astype(np.float32))
+        sd[prefix + ".running_var"] = torch.from_numpy(
+            np.abs(rng.randn(c).astype(np.float32)) + 1)
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(7)
+
+    fc_ch = e.FC_LAYERS[0][0] * e.CAPACITY_SCALAR
+    lin("embed.fc_layers.1", 2048, fc_ch)
+    bn1d("embed.fc_layers.2", fc_ch)
+    lin("embed.video_emb", fc_ch, e.HIDDEN_SIZE)
+    enc = ref.Encoder(e.HIDDEN_SIZE, 0.0, e.NUM_HEADS, e.D_FF, e.NUM_LAYERS)
+    for k, v in enc.state_dict().items():
+        sd["embed.video_encoder." + k] = v
+    lin("embed.embedding_layer", e.HIDDEN_SIZE, e.EMBEDDING_SIZE)
+
+    lin("ssl_projection.net.0", e.EMBEDDING_SIZE, cfg.MODEL.PROJECTION_SIZE)
+    bn1d("ssl_projection.net.1", cfg.MODEL.PROJECTION_SIZE)
+    lin("ssl_projection.net.3", cfg.MODEL.PROJECTION_SIZE, e.EMBEDDING_SIZE)
+    lin("classifier.fc_layers.1", e.EMBEDDING_SIZE, 5)  # pouring: 5 classes
+    return sd, enc
+
+
+def test_full_carl_checkpoint_import(tmp_path):
+    """Round-trips a full reference-format checkpoint through
+    convert/load_carl_checkpoint: strict key coverage, and the imported
+    temporal encoder must match the REFERENCE'S torch Encoder forward."""
+    torch = pytest.importorskip("torch")
+    from video_rep_learning_tpu.models.import_torch import load_carl_checkpoint
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 2
+    e.NUM_HEADS = 4
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 12
+
+    sd, ref_encoder = _reference_carl_state_dict(cfg)
+    ckpt_path = tmp_path / "checkpoint_epoch_00003.pth"
+    torch.save({"epoch": 3, "model_state": sd, "optimizer_state": {},
+                "cfg": None}, str(ckpt_path))
+
+    model = build_model(cfg)
+    x = jnp.zeros((1, 4, 64, 64, 3))
+    masks = jnp.ones((1, 1, 4))
+
+    def init_all(mdl, x, masks):
+        # trace projection AND classifier so every head materializes in the
+        # param tree (like Trainer.init_state)
+        mdl(x, 4, video_masks=masks, project=True)
+        return mdl(x, 4, video_masks=masks, classification=True)
+
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x, masks, method=init_all)
+    loaded = load_carl_checkpoint(str(ckpt_path), variables,
+                                  cfg.MODEL.BASE_MODEL.LAYER)
+
+    # spot-check: a backbone running stat and an encoder weight landed
+    got = loaded["batch_stats"]["backbone"]["bn1"]["BatchNorm_0"]["mean"]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(sd["backbone.1.running_mean"]))
+
+    # GOLDEN: our imported temporal encoder == the reference's torch Encoder
+    from video_rep_learning_tpu.models.layers import Encoder as JEncoder
+
+    xin = np.random.RandomState(1).randn(2, 4, e.HIDDEN_SIZE).astype(np.float32)
+    with torch.no_grad():
+        want = ref_encoder.eval()(torch.from_numpy(xin)).numpy()
+    jenc = JEncoder(e.HIDDEN_SIZE, 0.0, e.NUM_HEADS, e.D_FF, e.NUM_LAYERS)
+    got = np.asarray(jenc.apply(
+        {"params": loaded["params"]["embed"]["video_encoder"]},
+        jnp.asarray(xin)))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+    # full-model forward with every imported weight
+    out = model.apply(loaded, x, 4, video_masks=masks, project=True,
+                      train=False)
+    assert np.isfinite(np.asarray(out)).all()

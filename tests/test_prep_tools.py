@@ -152,3 +152,68 @@ def test_tfrecords_to_videos_end_to_end(tmp_path):
     assert len(ds) == 3
     item = ds.get_ssl_item(np.random.RandomState(0), 1)
     assert item["videos"].shape == (2, 4, 32, 32, 3)
+
+
+def test_prepare_finegym_event_trim_end_to_end(tmp_path):
+    """FineGym event extraction on a real (synthetic) source video: trim by
+    timestamps, standardize to 640x360@25fps via the native decoder/encoder,
+    synthesize frame labels from segments, and emit a dataset-loadable
+    pickle (reference `finegym_process.py:20-164`; closes the round-1
+    'never exercised on real event videos' gap)."""
+    import json
+    import pickle
+
+    from video_rep_learning_tpu.data.decode import VideoReader, encode_video
+    import tools.prepare_finegym as pf
+
+    rng = np.random.RandomState(0)
+    src_fps = 12.5
+    frames = rng.randint(0, 255, size=(100, 96, 128, 3)).astype(np.uint8)
+    videos_dir = tmp_path / "src"
+    videos_dir.mkdir()
+    encode_video(str(videos_dir / "vidA.mp4"), frames, fps=src_fps)
+
+    ann = {
+        "vidA": {
+            "E_001": {
+                "timestamps": [[1.0, 3.0]],
+                "segments": {
+                    "s0": {"timestamps": [[0.2, 1.0]], "label": 7},
+                    "s1": {"timestamps": [[1.2, 1.8]], "label": 3},
+                },
+            },
+            "E_002": {"timestamps": [[5.0, 7.0]], "segments": {}},
+            "E_skip": {"timestamps": [[0.0, 1.0]]},  # not in categories
+        },
+        "vidMissing": {"E_003": {"timestamps": [[0.0, 1.0]]}},
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    cats = tmp_path / "gym99_train.txt"
+    cats.write_text("vidA_E_001 11\nvidA_E_002 12\nvidMissing_E_003 13\n")
+
+    out = tmp_path / "out"
+    pf.main(["--annotations", str(ann_path), "--categories", str(cats),
+             "--videos", str(videos_dir), "--out", str(out)])
+
+    with open(out / "gym99_train_v1.0.pkl", "rb") as f:
+        entries = pickle.load(f)
+    assert [e["name"] for e in entries] == ["vidA_E_001", "vidA_E_002"]
+
+    e0 = entries[0]
+    assert e0["seq_len"] == 50  # 2 s @ 25 fps
+    assert e0["event_label"] == 11
+    reader = VideoReader(str(out / e0["video_file"]))
+    try:
+        decoded = reader.decode_range(0, e0["seq_len"])
+    finally:
+        reader.close()
+    assert decoded.shape == (50, 360, 640, 3)  # standardized geometry
+
+    # frame labels from event-relative segment timestamps @25fps:
+    # [0.2,1.0)s -> frames 5..24 label 7; [1.2,1.8)s -> frames 30..44 label 3
+    labels = np.asarray(e0["frame_label"])
+    assert labels.shape == (50,)
+    assert (labels[5:25] == 7).all()
+    assert (labels[30:45] == 3).all()
+    assert (labels[:5] == -1).all() and (labels[45:] == -1).all()

@@ -233,3 +233,149 @@ def apply_backbone_weights(params, batch_stats, backbone_p, backbone_s,
         merge(flat_s, finetune_s, "res_finetune")
     return (traverse_util.unflatten_dict(flat_p),
             traverse_util.unflatten_dict(flat_s))
+
+
+# ---------------------------------------------------------------------------
+# full reference CARL checkpoints (`checkpoint_epoch_*.pth`)
+# ---------------------------------------------------------------------------
+
+def convert_carl_checkpoint(model_state, layer: int):
+    """Reference `TransformerModel` (ResNet CARL family) checkpoint
+    `model_state` dict -> (params_flat, stats_flat) tuple-path dicts over the
+    CARLModel tree — enables evaluating the reference's released checkpoints
+    (`CARL_MVF/README.md:121-131`) for real parity.
+
+    Key layout (from `models/transformer.py:118-139` + `models/__init__.py:17-29`):
+    - backbone.* is an nn.Sequential slice of torchvision resnet50 children:
+      0=conv1, 1=bn1, 4=layer1, 5=layer2, 6=layer3(, 7=layer4 when fully
+      frozen); res_finetune.* is layer4 (LAYER=3) or Sequential(layer3,
+      layer4) (LAYER=2)
+    - embed.* is TransformerEmbModel (`transformer.py:248-283`): fc_layers
+      Sequential groups [Dropout, Linear, BN, ReLU] (Linear at 4g+1, BN at
+      4g+2), video_emb, video_encoder.enc_layers.N.{res_layer0.norm,
+      self_att.linear_*, res_layer1.norm, feed_forward.fc*}, embedding_layer
+    - ssl_projection.net.{0,1,3} = MLPHead Linear/BN/Linear (`resnet_c2d.py:112-126`)
+    - classifier.fc_layers.1 (`resnet_c2d.py:11-32`)
+
+    Returns dicts mapping tuple paths (for `traverse_util`) to numpy arrays;
+    any state-dict key NOT consumed raises (protects against silent drops).
+    """
+    sd = dict(model_state)
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    # -- backbone / res_finetune: rebuild canonical torchvision names -------
+    seq_to_name = {0: "conv1", 1: "bn1", 4: "layer1", 5: "layer2",
+                   6: "layer3", 7: "layer4"}
+    canon = {}
+    for k in list(sd):
+        if k.startswith("backbone."):
+            idx, rest = k[len("backbone."):].split(".", 1)
+            canon[f"{seq_to_name[int(idx)]}.{rest}"] = take(k)
+        elif k.startswith("res_finetune."):
+            rest = k[len("res_finetune."):]
+            if layer == 3:
+                canon["layer4." + rest] = take(k)
+            elif layer == 2:
+                idx, tail = rest.split(".", 1)
+                canon[f"layer{3 + int(idx)}.{tail}"] = take(k)
+            else:
+                raise ValueError(
+                    f"unexpected res_finetune weights for LAYER={layer}")
+    trunk_upto = {3: 3, 2: 2}.get(layer, 4)
+    ft_start = {3: 4, 2: 3}.get(layer, 0)
+    bb_p, bb_s, ft_p, ft_s = convert_resnet50(canon, trunk_upto, ft_start)
+
+    params, stats = {}, {}
+    for path, v in bb_p.items():
+        params[("backbone",) + path] = v
+    for path, v in bb_s.items():
+        stats[("backbone",) + path] = v
+    for path, v in ft_p.items():
+        params[("res_finetune",) + path] = v
+    for path, v in ft_s.items():
+        stats[("res_finetune",) + path] = v
+
+    def put_linear(prefix, dst):
+        params[dst + ("Dense_0", "kernel")] = _np(take(prefix + ".weight")).T
+        if prefix + ".bias" in sd:
+            params[dst + ("Dense_0", "bias")] = _np(take(prefix + ".bias"))
+
+    def put_bn(prefix, dst):
+        params[dst + ("BatchNorm_0", "scale")] = _np(take(prefix + ".weight"))
+        params[dst + ("BatchNorm_0", "bias")] = _np(take(prefix + ".bias"))
+        stats[dst + ("BatchNorm_0", "mean")] = _np(take(prefix + ".running_mean"))
+        stats[dst + ("BatchNorm_0", "var")] = _np(take(prefix + ".running_var"))
+        if prefix + ".num_batches_tracked" in sd:
+            take(prefix + ".num_batches_tracked")  # no flax equivalent
+
+    def put_layernorm(prefix, dst):
+        params[dst + ("scale",)] = _np(take(prefix + ".weight"))
+        params[dst + ("bias",)] = _np(take(prefix + ".bias"))
+
+    # -- embed: TransformerEmbModel ----------------------------------------
+    g = 0
+    while f"embed.fc_layers.{4 * g + 1}.weight" in sd:
+        put_linear(f"embed.fc_layers.{4 * g + 1}", ("embed", "fc_layers", f"fc{g}"))
+        put_bn(f"embed.fc_layers.{4 * g + 2}", ("embed", "fc_layers", f"bn{g}"))
+        g += 1
+    put_linear("embed.video_emb", ("embed", "video_emb"))
+    n = 0
+    while f"embed.video_encoder.enc_layers.{n}.res_layer0.norm.weight" in sd:
+        base = ("embed", "video_encoder", f"layer{n}")
+        pre = f"embed.video_encoder.enc_layers.{n}"
+        put_layernorm(f"{pre}.res_layer0.norm", base + ("norm0",))
+        put_layernorm(f"{pre}.res_layer1.norm", base + ("norm1",))
+        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
+            put_linear(f"{pre}.self_att.{ln}", base + ("self_att", ln))
+        for fc in ("fc1", "fc2"):
+            put_linear(f"{pre}.feed_forward.{fc}", base + ("feed_forward", fc))
+        n += 1
+    put_linear("embed.embedding_layer", ("embed", "embedding_layer"))
+
+    # -- ssl_projection: MLPHead -------------------------------------------
+    if "ssl_projection.net.0.weight" in sd:
+        put_linear("ssl_projection.net.0", ("ssl_projection", "fc1"))
+        put_bn("ssl_projection.net.1", ("ssl_projection", "bn"))
+        put_linear("ssl_projection.net.3", ("ssl_projection", "fc2"))
+
+    # -- classifier ---------------------------------------------------------
+    if "classifier.fc_layers.1.weight" in sd:
+        put_linear("classifier.fc_layers.1", ("classifier", "fc"))
+
+    # -- optional CLS residual ----------------------------------------------
+    if "cls_res_res.weight" in sd:
+        put_linear("cls_res_res", ("cls_res_res",))
+
+    leftovers = set(sd) - consumed
+    if leftovers:
+        raise KeyError(f"unconverted reference weights: {sorted(leftovers)[:8]}"
+                       f" (+{max(0, len(leftovers) - 8)} more)")
+    return params, stats
+
+
+def load_carl_checkpoint(path: str, variables, layer: int):
+    """torch.load a reference CARL checkpoint and merge it (strictly: every
+    weight must land, shapes must match) into initialized CARLModel
+    variables. Returns new {params, batch_stats}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    params_flat, stats_flat = convert_carl_checkpoint(sd, layer)
+
+    flat_p = traverse_util.flatten_dict(variables["params"])
+    flat_s = traverse_util.flatten_dict(variables.get("batch_stats", {}))
+    for src, flat in ((params_flat, flat_p), (stats_flat, flat_s)):
+        for key, v in src.items():
+            if key not in flat:
+                raise KeyError(f"imported weight {key} not in model tree")
+            if flat[key].shape != v.shape:
+                raise ValueError(f"shape mismatch at {key}: "
+                                 f"{flat[key].shape} vs {v.shape}")
+            flat[key] = v.astype(np.asarray(flat[key]).dtype)
+    return {"params": traverse_util.unflatten_dict(flat_p),
+            "batch_stats": traverse_util.unflatten_dict(flat_s)}
