@@ -70,14 +70,12 @@ def _measure(cfg, n_steps, raw):
 
     state = trainer.state
     for i in range(2):  # warmup / compile
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, i),
-                           False, 1e-4)
+        state, loss = step(state, dev_batch, key, i, False, 1e-4)
     float(loss["loss"])
 
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, 100 + i),
-                           False, 1e-4)
+        state, loss = step(state, dev_batch, key, 100 + i, False, 1e-4)
     # single value read at the end: the data dependency through the chained
     # state forces every step to have executed before this returns
     float(loss["loss"])

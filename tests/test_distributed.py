@@ -68,7 +68,7 @@ def test_sharded_step_matches_single_device(algo):
         tr.init_state()
         step = tr.build_train_step()
         dev_batch = shard_batch(mesh, batch)
-        state, loss = step(tr.state, dev_batch, key, False, 1e-3)
+        state, loss = step(tr.state, dev_batch, key, 0, False, 1e-3)
         results[ndev] = (
             float(jax.device_get(loss["loss"])),
             jax.device_get(state["trainable"]),
@@ -97,7 +97,7 @@ def test_sharded_batchnorm_stats_are_global():
         tr = Trainer(cfg, no_eval=True, build_loaders=False, mesh=mesh)
         tr.init_state()
         step = tr.build_train_step()
-        state, _ = step(tr.state, shard_batch(mesh, batch), key, False, 1e-3)
+        state, _ = step(tr.state, shard_batch(mesh, batch), key, 0, False, 1e-3)
         stats[ndev] = jax.device_get(state["batch_stats"])
     flat1 = jax.tree_util.tree_leaves(stats[1])
     flat8 = jax.tree_util.tree_leaves(stats[8])

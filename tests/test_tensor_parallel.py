@@ -49,7 +49,7 @@ def _run_mode(mode, cfg, batch, key):
     tr.init_state()
     step = tr.build_train_step()
     db = shard_batch(mesh, batch)
-    state, loss = step(tr.state, db, key, False, 1e-3)
+    state, loss = step(tr.state, db, key, 0, False, 1e-3)
     return (float(jax.device_get(loss["loss"])),
             jax.device_get(state["trainable"]))
 

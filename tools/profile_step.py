@@ -60,15 +60,13 @@ def main():
 
     state = trainer.state
     for i in range(2):
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, i),
-                           False, 1e-4)
+        state, loss = step(state, dev_batch, key, i, False, 1e-4)
     float(loss["loss"])
 
     jax.profiler.start_trace(args.out)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, loss = step(state, dev_batch, jax.random.fold_in(key, 100 + i),
-                           False, 1e-4)
+        state, loss = step(state, dev_batch, key, 100 + i, False, 1e-4)
     float(loss["loss"])
     dt = (time.perf_counter() - t0) / args.steps
     jax.profiler.stop_trace()

@@ -192,8 +192,12 @@ class Trainer:
         cfg = self.cfg
         model, algo, tx = self.model, self.algo, self.tx
 
-        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-        def train_step(state, batch, key, warmup_active, lr):
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+        def train_step(state, batch, key, it, warmup_active, lr):
+            # the per-step key folds INSIDE jit: an eager fold_in per step
+            # costs ~4.5 ms of relay dispatch latency on the critical path
+            # (measured r2); `it` rides along as a bundled scalar for free
+            key = jax.random.fold_in(key, it)
             k_aug, k_drop = jax.random.split(key)
             videos = self._augment_batch(k_aug, batch)
             step_batch = dict(batch, videos=videos)
@@ -230,8 +234,8 @@ class Trainer:
         model, algo = self.model, self.algo
 
         @jax.jit
-        def val_step(state, batch, key):
-            videos = self._augment_batch(key, batch)
+        def val_step(state, batch, key, it):
+            videos = self._augment_batch(jax.random.fold_in(key, it), batch)
             step_batch = dict(batch, videos=videos)
             params = merge_params(state["trainable"], state["frozen"])
             variables = {"params": params, "batch_stats": state["batch_stats"]}
@@ -289,9 +293,9 @@ class Trainer:
             tmt[1] += time.time() - t1
             t1 = time.time()
 
-            key = jax.random.fold_in(self._base_key, epoch * 100_000 + cur_iter)
             self.state, loss_dict = self._train_step(
-                self.state, dev_batch, key, warmup_active, lr)
+                self.state, dev_batch, self._base_key,
+                epoch * 100_000 + cur_iter, warmup_active, lr)
             loss_dicts.append(loss_dict)
             tmt[2] += time.time() - t1
             t1 = time.time()
@@ -336,8 +340,9 @@ class Trainer:
         last_videos = last_names = None
         for cur_iter, batch in enumerate(self.val_loader):
             dev_batch = self._device_batch(batch)
-            key = jax.random.fold_in(self._base_key, 10_000_000 + cur_iter)
-            loss_dict, videos = self._val_step(self.state, dev_batch, key)
+            loss_dict, videos = self._val_step(self.state, dev_batch,
+                                               self._base_key,
+                                               10_000_000 + cur_iter)
             loss_dict = jax.device_get(loss_dict)
             last_videos, last_names = videos, batch.get("names")
             for k, v in loss_dict.items():
