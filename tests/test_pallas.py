@@ -170,6 +170,37 @@ def test_fused_photometric_augment_matches_jnp_pipeline():
         np.testing.assert_allclose(got, want, atol=3e-5), seed
 
 
+def test_fused_vit_attention_block_matches_reference():
+    """The fused LN+qkv+attention+proj half-block kernel == its XLA
+    composition, forward and backward."""
+    from video_rep_learning_tpu.ops.vit_block_pallas import (_reference,
+                                                             vit_attention_block)
+
+    rng = np.random.RandomState(9)
+    B, N, H, dh = 2, 150, 4, 32
+    D = H * dh
+    x = jnp.asarray(rng.randn(B, N, D), jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.randn(D), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.randn(D), jnp.float32)
+    wqkv = jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * D) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.randn(D) * 0.05, jnp.float32)
+
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    got = vit_attention_block(*args, H)
+    want = _reference(*args, H, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    g = jax.grad(lambda *a: jnp.sum(vit_attention_block(*a, H) ** 2),
+                 argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_reference(*a, H, 1e-6) ** 2),
+                  argnums=tuple(range(7)))(*args)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=5e-4)
+
+
 def test_packed_vit_eligibility_budget():
     from video_rep_learning_tpu.ops.attention_pallas import packed_vit_eligible
 

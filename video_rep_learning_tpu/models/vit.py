@@ -147,6 +147,37 @@ class ViTAttention(nn.Module):
                         name="proj")(out)
 
 
+class _RawDenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's exact names/shapes/inits so the
+    fused-block path shares the checkpoint tree with the module path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _trunc02, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _RawDenseParams(self.dim, self.dim * 3, name="qkv")()
+        kp, bp = _RawDenseParams(self.dim, self.dim, name="proj")()
+        return kq, bq, kp, bp
+
+
+class _LNParams(nn.Module):
+    @nn.compact
+    def __call__(self, D):
+        return (self.param("scale", nn.initializers.ones, (D,)),
+                self.param("bias", nn.initializers.zeros, (D,)))
+
+
 class ViTBlock(nn.Module):
     dim: int
     num_heads: int
@@ -155,9 +186,38 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
-                             name="attn")(y)
+        import os as _os
+
+        import jax as _jax
+
+        from ..ops.vit_block_pallas import (vit_attention_block,
+                                            vit_block_eligible)
+        from ..parallel.sharding import tensor_context
+
+        head_dim = self.dim // self.num_heads
+        itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+        if (_jax.default_backend() == "tpu"
+                and tensor_context() is None
+                and _os.environ.get("VRL_FUSED_VIT_BLOCK", "0") == "1"
+                and _os.environ.get("VRL_FLASH_ATTENTION", "auto") != "0"
+                and vit_block_eligible(self.num_heads, head_dim, x.shape[1],
+                                       self.dim, itemsize)):
+            # fully fused attention half-block: LN1 + qkv + attention + proj
+            # + residual in one Pallas kernel (ops/vit_block_pallas.py);
+            # params share the exact module-path tree. Measured ~2% SLOWER
+            # than the separate packed-attention + XLA-matmul path on v5e
+            # (the serial per-image LN+qkv section stalls slab pipelining),
+            # so it is OPT-IN via VRL_FUSED_VIT_BLOCK=1 pending a pipelined
+            # rework.
+            ln_s, ln_b = _LNParams(name="norm1")(self.dim)
+            kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
+            xb = x.astype(self.dtype) if self.dtype else x
+            x = vit_attention_block(xb, ln_s, ln_b, kq, bq, kp, bp,
+                                    self.num_heads)
+        else:
+            y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+            x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                 name="attn")(y)
         y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02,
                      dtype=self.dtype, name="mlp_fc1")(y)
