@@ -181,6 +181,28 @@ def test_train_loader_batches_and_sharding(synth_dir):
     assert sorted(n0) != n0b or n0 != n0b
 
 
+def test_train_loader_multiworker_identical(synth_dir):
+    """A num_workers>1 thread pool must yield bit-identical batches in the
+    same order as the single-worker path (per-index RNG seeding makes item
+    generation scheduling-independent)."""
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.data.loader import TrainLoader
+
+    cfg = _small_cfg(synth_dir)
+    ds = Pouring(cfg, "train")
+    l1 = TrainLoader(ds, batch_size=2, seed=3, num_workers=1)
+    l4 = TrainLoader(ds, batch_size=2, seed=3, num_workers=4)
+    l1.set_epoch(2)
+    l4.set_epoch(2)
+    b1, b4 = list(l1), list(l4)
+    assert len(b1) == len(b4) == 3
+    for a, b in zip(b1, b4):
+        assert a["names"] == b["names"]
+        for k in ("videos", "labels", "seq_lens", "chosen_steps",
+                  "video_masks", "dims"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_eval_loader_full_sweep(synth_dir):
     from video_rep_learning_tpu.data.datasets import Pouring
     from video_rep_learning_tpu.data.loader import EvalLoader

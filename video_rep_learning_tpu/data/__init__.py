@@ -47,20 +47,23 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
     if primary == "pouring":
         ds = Pouring(cfg, split, mode="train" if split == "train" else mode)
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
-                             seed=seed, ssl=ssl)
+                             seed=seed, ssl=ssl,
+                             num_workers=cfg.DATA.NUM_WORKERS)
         emb_ds = Pouring(cfg, split, mode="eval", sample_all=True)
         emb_loaders = [EvalLoader(emb_ds)]
     elif primary == "finegym":
         ds = FineGym(cfg, split, mode="train" if split == "train" else mode)
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
-                             seed=seed, ssl=ssl)
+                             seed=seed, ssl=ssl,
+                             num_workers=cfg.DATA.NUM_WORKERS)
         emb_ds = FineGym(cfg, split, mode="eval", sample_all=True,
                          entries=ds.entries)
         emb_loaders = [EvalLoader(emb_ds, num_replicas=nrep, rank=rank)]
     elif primary == "kinetics400":
         ds = Kinetics400(cfg, "train")
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
-                             seed=seed, ssl=ssl)
+                             seed=seed, ssl=ssl,
+                             num_workers=cfg.DATA.NUM_WORKERS)
         if no_eval:
             emb_loaders = None
         else:
@@ -74,7 +77,8 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
         if not cfg.SSL and "tcc" in cfg.TRAINING_ALGO:
             batch_sampler = ActionBatchSampler(ds, batch_size, nrep, rank, seed)
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
-                             seed=seed, ssl=ssl, batch_sampler=batch_sampler)
+                             seed=seed, ssl=ssl,
+                             num_workers=cfg.DATA.NUM_WORKERS, batch_sampler=batch_sampler)
         emb_loaders = [
             EvalLoader(PennAction(cfg, split, name, mode="eval", sample_all=True))
             for name in cfg.DATASETS]

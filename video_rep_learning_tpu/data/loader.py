@@ -123,12 +123,13 @@ class TrainLoader:
                  num_replicas: int = 1, rank: int = 0, seed: int = 0,
                  ssl: bool = True, prefetch: int = 2,
                  batch_sampler: Optional[ActionBatchSampler] = None,
-                 pad_canvas: bool = True):
+                 pad_canvas: bool = True, num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.ssl = ssl
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
         self.batch_sampler = batch_sampler
         self.sampler = DistributedSampler(len(dataset), num_replicas, rank,
                                           shuffle=True, seed=seed)
@@ -162,33 +163,64 @@ class TrainLoader:
         return self.dataset.get_supervised_item(rng, int(index))
 
     def __iter__(self) -> Iterator[Dict]:
+        """Batches decode on a pool of `num_workers` threads (the decoder's
+        C FFmpeg calls release the GIL, so threads parallelize like the
+        reference's NUM_WORKERS DataLoader processes) with a bounded window
+        of in-flight batches; order and RNG are deterministic regardless of
+        scheduling (per-index seeding)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = self._batches()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        if self.num_workers == 1:
+            # single-thread fallback: one producer thread, bounded queue
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
 
-        def producer():
+            def producer():
+                try:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = [self._make_item(i) for i in b]
+                        q.put(collate(items, self.canvas))
+                    q.put(None)
+                except Exception as e:  # surface worker errors to the consumer
+                    q.put(e)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
             try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = [self._make_item(i) for i in b]
-                    q.put(collate(items, self.canvas))
-                q.put(None)
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+            return
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            it = iter(batches)
+            pending = deque()
+
+            def submit_next():
+                b = next(it, None)
+                if b is None:
+                    return False
+                pending.append([ex.submit(self._make_item, i) for i in b])
+                return True
+
+            for _ in range(self.prefetch + 1):
+                if not submit_next():
                     break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+            while pending:
+                futs = pending.popleft()
+                items = [f.result() for f in futs]
+                yield collate(items, self.canvas)
+                submit_next()
 
 
 class EvalLoader:
