@@ -50,7 +50,7 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
                              seed=seed, ssl=ssl,
                              num_workers=cfg.DATA.NUM_WORKERS)
         emb_ds = Pouring(cfg, split, mode="eval", sample_all=True)
-        emb_loaders = [EvalLoader(emb_ds)]
+        emb_loaders = [EvalLoader(emb_ds, num_workers=cfg.DATA.NUM_WORKERS)]
     elif primary == "finegym":
         ds = FineGym(cfg, split, mode="train" if split == "train" else mode)
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
@@ -58,7 +58,8 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
                              num_workers=cfg.DATA.NUM_WORKERS)
         emb_ds = FineGym(cfg, split, mode="eval", sample_all=True,
                          entries=ds.entries)
-        emb_loaders = [EvalLoader(emb_ds, num_replicas=nrep, rank=rank)]
+        emb_loaders = [EvalLoader(emb_ds, num_replicas=nrep, rank=rank,
+                                  num_workers=cfg.DATA.NUM_WORKERS)]
     elif primary == "kinetics400":
         ds = Kinetics400(cfg, "train")
         loader = TrainLoader(ds, batch_size, num_replicas=nrep, rank=rank,
@@ -69,7 +70,8 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
         else:
             cfg.DATASETS = cfg.DATASETS[1:]  # `datasets/__init__.py:48`
             emb_loaders = [
-                EvalLoader(PennAction(cfg, split, name, mode="eval", sample_all=True))
+                EvalLoader(PennAction(cfg, split, name, mode="eval", sample_all=True),
+                       num_workers=cfg.DATA.NUM_WORKERS)
                 for name in cfg.DATASETS]
     else:
         ds = PennAction(cfg, split, mode="train" if split == "train" else "eval")
@@ -80,7 +82,8 @@ def construct_dataloader(cfg: ConfigNode, split: str, mode: str = "auto",
                              seed=seed, ssl=ssl,
                              num_workers=cfg.DATA.NUM_WORKERS, batch_sampler=batch_sampler)
         emb_loaders = [
-            EvalLoader(PennAction(cfg, split, name, mode="eval", sample_all=True))
+            EvalLoader(PennAction(cfg, split, name, mode="eval", sample_all=True),
+                       num_workers=cfg.DATA.NUM_WORKERS)
             for name in cfg.DATASETS]
     return loader, emb_loaders
 

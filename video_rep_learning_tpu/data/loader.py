@@ -229,17 +229,43 @@ class EvalLoader:
     the FineGym distributed eval (`evaluate_finegym.py:156`)."""
 
     def __init__(self, dataset: VideoDataset, *, num_replicas: int = 1,
-                 rank: int = 0, prefetch: int = 2):
+                 rank: int = 0, prefetch: int = 2, num_workers: int = 1):
         self.dataset = dataset
         self.sampler = DistributedSampler(len(dataset), num_replicas, rank,
                                           shuffle=False)
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
 
     def __len__(self):
         return len(self.sampler.indices())
 
     def __iter__(self):
         indices = list(self.sampler.indices())
+        if self.num_workers > 1:
+            # parallel full-video decode; eval items are deterministic
+            # (no RNG), so ordered futures preserve the sweep order
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                it = iter(indices)
+                pending = deque()
+
+                def submit_next():
+                    i = next(it, None)
+                    if i is None:
+                        return False
+                    pending.append(ex.submit(self.dataset.get_eval_item, int(i)))
+                    return True
+
+                for _ in range(self.prefetch + 1):
+                    if not submit_next():
+                        break
+                while pending:
+                    yield pending.popleft().result()
+                    submit_next()
+            return
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def producer():
