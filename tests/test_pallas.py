@@ -201,6 +201,29 @@ def test_fused_vit_attention_block_matches_reference():
                                    atol=5e-4)
 
 
+@pytest.mark.parametrize("approx", [True, False])
+def test_fused_matmul_gelu_matches_reference(approx):
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (_reference,
+                                                               matmul_bias_gelu)
+
+    rng = np.random.RandomState(10)
+    B, N, K, F = 2, 150, 128, 256
+    x = jnp.asarray(rng.randn(B, N, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, F) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(F) * 0.05, jnp.float32)
+    got = matmul_bias_gelu(x, w, b, approx)
+    want = _reference(x, w, b, approx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    g = jax.grad(lambda *a: jnp.sum(matmul_bias_gelu(*a, approx) ** 2),
+                 argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(_reference(*a, approx) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4,
+                                   atol=2e-4)
+
+
 def test_packed_vit_eligibility_budget():
     from video_rep_learning_tpu.ops.attention_pallas import packed_vit_eligible
 

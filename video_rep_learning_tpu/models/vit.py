@@ -219,8 +219,6 @@ class ViTBlock(nn.Module):
             x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
                                  name="attn")(y)
         y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02,
-                     dtype=self.dtype, name="mlp_fc1")(y)
         # Exact (erf) GELU costs ~50 ms/step of pure VPU transcendentals on
         # the MVF workload. Under bf16 the tanh approximation's max error
         # (~3e-3 relative at |x|~2.3) sits below the bf16 output rounding
@@ -228,11 +226,27 @@ class ViTBlock(nn.Module):
         # fp16 with comparable rounding — so approximate GELU is numerically
         # free on the AMP path. fp32 keeps exact erf (timm parity); force
         # exact everywhere with VRL_EXACT_GELU=1.
-        import os as _os
-
         approx = (self.dtype == jnp.bfloat16
                   and _os.environ.get("VRL_EXACT_GELU", "0") != "1")
-        y = nn.gelu(y, approximate=approx)
+        d_ff = int(self.dim * self.mlp_ratio)
+
+        from ..ops.matmul_gelu_pallas import (matmul_bias_gelu,
+                                              matmul_gelu_eligible)
+
+        if (_jax.default_backend() == "tpu"
+                and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
+                and matmul_gelu_eligible(y.shape[1], self.dim, d_ff,
+                                         itemsize)):
+            # fc1 + bias + GELU fused in one Pallas kernel — the standalone
+            # GELU pass over the (tokens, 4D) stream is pure HBM bandwidth
+            # (~43 ms/step on MVF) that the matmul epilogue absorbs
+            kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
+            y = matmul_bias_gelu(y.astype(self.dtype) if self.dtype else y,
+                                 kfc1, bfc1, approximate=approx)
+        else:
+            y = nn.Dense(d_ff, kernel_init=_trunc02, dtype=self.dtype,
+                         name="mlp_fc1")(y)
+            y = nn.gelu(y, approximate=approx)
         y = nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
                      name="mlp_fc2")(y)
         return x + y
