@@ -124,10 +124,14 @@ class SCL:
 
         N = B * V * num_frames
         flag = os.environ.get("VRL_FUSED_SCL", "auto")  # 0 | 1 | auto
+        # measured (r2, v5e): fused == XLA speed through N=4096; the fused
+        # kernel's value is MEMORY — XLA materializes several (N, N) fp32
+        # buffers (~6 GB at N=16K), the kernel none — so auto-dispatch at
+        # the size where those buffers start to matter
         use_fused = (self.positive_type == "gauss"
                      and jax.default_backend() == "tpu"
                      and flag != "0"
-                     and (flag == "1" or N >= 2048))
+                     and (flag == "1" or N >= 8192))
         if use_fused:
             # Pallas fused kernel: no (N, N) HBM buffers (ops/scl_pallas.py)
             from ..ops.scl_pallas import scl_loss_fused
