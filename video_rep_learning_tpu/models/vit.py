@@ -234,6 +234,7 @@ class ViTBlock(nn.Module):
                                               matmul_gelu_eligible)
 
         if (_jax.default_backend() == "tpu"
+                and approx  # Mosaic has no erf; exact GELU stays on XLA
                 and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
                 and matmul_gelu_eligible(y.shape[1], self.dim, d_ff,
                                          itemsize)):

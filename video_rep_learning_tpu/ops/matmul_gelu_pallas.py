@@ -30,14 +30,11 @@ def _gelu_tanh(x):
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, approximate):
+    assert approximate, "Mosaic has no erf; exact GELU stays on the XLA path"
     acc = jax.lax.dot(x_ref[0], w_ref[...],
                       preferred_element_type=jnp.float32)
     y = acc + b_ref[0].astype(jnp.float32)
-    if approximate:
-        y = _gelu_tanh(y)
-    else:
-        y = 0.5 * y * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(y.dtype)))
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[0] = _gelu_tanh(y).astype(o_ref.dtype)
 
 
 def _forward(x, w, b, approximate):
@@ -78,12 +75,17 @@ def _reference(x, w, b, approximate):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def matmul_bias_gelu(x, w, b, approximate=True):
     """gelu(x @ w + b) with the activation fused into the matmul epilogue.
-    x (B, N, K); w (K, F); b (F,)."""
+    x (B, N, K); w (K, F); b (F,). Exact (erf) GELU has no Mosaic lowering
+    and runs the XLA composition instead."""
+    if not approximate:
+        return _reference(x, w, b, approximate)
     return _forward(x, w, b, approximate)
 
 
 def _fwd(x, w, b, approximate):
-    return _forward(x, w, b, approximate), (x, w, b)
+    out = (_forward(x, w, b, approximate) if approximate
+           else _reference(x, w, b, approximate))
+    return out, (x, w, b)
 
 
 def _bwd(approximate, res, g):
