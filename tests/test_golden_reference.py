@@ -239,3 +239,107 @@ def test_positional_encoder_matches_reference_torch(ref_mutils):
         jmod = PositionalEncoder(d_model, 0.0, seq_len=train_len)
         got = np.asarray(jmod.apply({}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class _AD(dict):
+    """EasyDict-alike: attribute access + membership (the reference
+    presence-checks config keys with `in`)."""
+
+    __getattr__ = dict.__getitem__
+
+
+@pytest.fixture(scope="module")
+def ref_mvformer():
+    """Reference mvformer.py does `from models.utils import *`; alias a fake
+    top-level `models` package at the reference's utils before loading."""
+    import sys
+    import types
+
+    utils = _load("models/utils.py", "ref_models_utils")
+    pkg = types.ModuleType("models")
+    pkg.utils = utils
+    saved = {k: sys.modules.get(k) for k in ("models", "models.utils")}
+    sys.modules["models"] = pkg
+    sys.modules["models.utils"] = utils
+    try:
+        yield _load("models/mvformer.py", "ref_mvformer_mod")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.mark.parametrize("variant", [
+    "static", "static_dynamic", "dyn_first", "dyn_average",
+    "val_pass", "disjoint", "ln_keys",
+])
+def test_lstp_cross_attention_matches_reference_torch(ref_mvformer, variant):
+    """The vectorized LSTP cross-attention == the reference's per-sample
+    LSTPCrossAtt with transplanted weights (`mvformer.py:275-414`) across
+    every option: static/dynamic queries, DYNAMIC_CTRL grouping, VAL_PASS,
+    SMART_DISJOINT, SMART_LN_KEYS."""
+    from video_rep_learning_tpu.models.mvformer import LSTPCrossAtt
+
+    nst = 0 if variant.startswith("dyn_") else 3
+    nsd = 2 if variant in ("static_dynamic", "dyn_first", "dyn_average") else 0
+    dyn_ctrl = {"dyn_first": "first", "dyn_average": "average"}.get(variant,
+                                                                    "separate")
+    val_pass = variant == "val_pass"
+    disjoint = variant == "disjoint"
+    ln_keys = variant == "ln_keys"
+    F_frames, S, C_in, d_model, d_dyn = 6, 10, 24, 16, 12
+
+    emb = _AD(DYNAMIC_CTRL=dyn_ctrl)
+    if val_pass:
+        emb["VAL_PASS"] = True
+    if disjoint:
+        emb["SMART_DISJOINT"] = True
+    if ln_keys:
+        emb["SMART_LN_KEYS"] = True
+    cfg = _AD(MODEL=_AD(EMBEDDER_MODEL=emb))
+
+    tmod = ref_mvformer.LSTPCrossAtt(
+        cfg, num_static=nst, num_dynamic=nsd, d_model_K=C_in, d_model_V=C_in,
+        d_model=d_model, d_dyn_in=d_dyn).eval()
+
+    rng = np.random.RandomState(11)
+    tokens = rng.randn(F_frames, S, C_in).astype(np.float32)
+    dyn_in = rng.randn(F_frames, d_dyn).astype(np.float32)
+
+    with torch.no_grad():
+        ret = tmod(torch.from_numpy(tokens), torch.from_numpy(tokens),
+                   torch.from_numpy(dyn_in) if nsd else None)
+        # reference query batch may be 1 (static-only / first / average);
+        # attention broadcasts it over the frame batch of K/V
+        want = np.broadcast_to(np.asarray(ret[:, 0]),
+                               (F_frames, nst + nsd, d_model
+                                if not val_pass else C_in))
+
+    jmod = LSTPCrossAtt(num_static=nst, num_dynamic=nsd, d_model=d_model,
+                        d_dyn_in=d_dyn, val_pass=val_pass, disjoint=disjoint,
+                        ln_keys=ln_keys, dyn_ctrl=dyn_ctrl)
+    params = jmod.init(jax.random.key(0), jnp.asarray(tokens),
+                       jnp.asarray(dyn_in) if nsd else None,
+                       F_frames)["params"]
+
+    def put_lin(name, tlin):
+        params[name]["Dense_0"]["kernel"] = jnp.asarray(
+            tlin.weight.detach().numpy().T)
+        params[name]["Dense_0"]["bias"] = jnp.asarray(
+            tlin.bias.detach().numpy())
+
+    put_lin("linear_K2d", tmod.linear_K2d)
+    if not val_pass:
+        put_lin("linear_V2d", tmod.linear_V2d)
+    if nst:
+        params["Q_s"] = jnp.asarray(tmod.Q_s.detach().numpy())
+        params["Q_s_b"] = jnp.asarray(tmod.Q_s_b.detach().numpy())
+    if nsd:
+        put_lin("in2dynQ", tmod.in2dynQ)
+
+    got, attn = jmod.apply({"params": params}, jnp.asarray(tokens),
+                           jnp.asarray(dyn_in) if nsd else None, F_frames)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-6)
+    assert attn.shape == (F_frames, nst + nsd, S)
