@@ -343,3 +343,93 @@ def test_lstp_cross_attention_matches_reference_torch(ref_mvformer, variant):
                            jnp.asarray(dyn_in) if nsd else None, F_frames)
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-6)
     assert attn.shape == (F_frames, nst + nsd, S)
+
+
+@pytest.mark.parametrize("smart_final", ["max", "one", "avg", "lin"])
+def test_mvformer_head_matches_reference_torch(ref_mvformer, smart_final):
+    """End-to-end golden test of the ENTIRE MV-Former head: the reference's
+    MultiEntityTransformerEmbModel (per-sample LSTP loop + per-token pos-enc
+    + joint 1440-style encoder + SMART_FINAL reduction) with transplanted
+    weights == our vectorized flax module. one_hot='none' (the reference's
+    one-hot branches call x.get_device(), CPU-incompatible; one-hot math is
+    covered by the model-matrix tests)."""
+    from video_rep_learning_tpu.models.mvformer import (
+        MultiEntityTransformerEmbModel)
+
+    B, T, h, w, C_in = 2, 5, 3, 4, 24
+    nst, spc, hid, d_ff, nlayers, nheads, emb_size = 3, 16, 16, 32, 2, 4, 8
+    fc_ch = 16
+
+    emb_cfg = _AD(FC_DROPOUT_RATE=0.0, SMART_POOL_CHANNELS=spc,
+                  SMART_TOKENS=nst, CAPACITY_SCALAR=1,
+                  FC_LAYERS=[[fc_ch, True]], EMBEDDING_SIZE=emb_size,
+                  HIDDEN_SIZE=hid, NUM_LAYERS=nlayers, NUM_HEADS=nheads,
+                  D_FF=d_ff, SMART_FINAL=smart_final)
+    cfg = _AD(MODEL=_AD(EMBEDDER_MODEL=emb_cfg,
+                        BASE_MODEL=_AD(OUT_CHANNEL=C_in)),
+              TRAIN=_AD(NUM_FRAMES=T))
+
+    tmod = ref_mvformer.MultiEntityTransformerEmbModel(cfg).eval()
+
+    rng = np.random.RandomState(12)
+    x_nchw = rng.randn(B, T, C_in, h, w).astype(np.float32)
+    masks = np.ones((B, 1, T), np.float32)
+    masks[1, 0, -2:] = 0
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x_nchw),
+                    video_masks=torch.from_numpy(masks)).numpy()
+
+    jmod = MultiEntityTransformerEmbModel(
+        hidden_channels=hid, embedding_size=emb_size, fc_channels=(fc_ch,),
+        drop_rate=0.0, num_layers=nlayers, num_heads=nheads, d_ff=d_ff,
+        train_num_frames=T, num_static=nst, num_dynamic=0,
+        pool_channels=spc, smart_final=smart_final)
+    x_nhwc = jnp.asarray(np.moveaxis(x_nchw, 2, -1))  # (B, T, h, w, C)
+    variables = jmod.init(jax.random.key(0), x_nhwc,
+                          video_masks=jnp.asarray(masks))
+    params = variables["params"]
+
+    def put_lin(path, tlin):
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]]["Dense_0"]["kernel"] = jnp.asarray(
+            tlin.weight.detach().numpy().T)
+        node[path[-1]]["Dense_0"]["bias"] = jnp.asarray(
+            tlin.bias.detach().numpy())
+
+    ca = tmod.pooling.cross_att
+    put_lin(("pooling", "cross_att", "linear_K2d"), ca.linear_K2d)
+    put_lin(("pooling", "cross_att", "linear_V2d"), ca.linear_V2d)
+    params["pooling"]["cross_att"]["Q_s"] = jnp.asarray(ca.Q_s.detach().numpy())
+    params["pooling"]["cross_att"]["Q_s_b"] = jnp.asarray(
+        ca.Q_s_b.detach().numpy())
+
+    put_lin(("fc_layers", "fc0"), tmod.fc_layers[1])
+    bn = tmod.fc_layers[2]
+    params["fc_layers"]["bn0"]["BatchNorm_0"]["scale"] = jnp.asarray(
+        bn.weight.detach().numpy())
+    params["fc_layers"]["bn0"]["BatchNorm_0"]["bias"] = jnp.asarray(
+        bn.bias.detach().numpy())
+    put_lin(("video_emb",), tmod.video_emb)
+    for n in range(nlayers):
+        tl = tmod.video_encoder.enc_layers[n]
+        base = params["video_encoder"][f"layer{n}"]
+        base["norm0"]["scale"] = jnp.asarray(tl.res_layer0.norm.weight.detach().numpy())
+        base["norm0"]["bias"] = jnp.asarray(tl.res_layer0.norm.bias.detach().numpy())
+        base["norm1"]["scale"] = jnp.asarray(tl.res_layer1.norm.weight.detach().numpy())
+        base["norm1"]["bias"] = jnp.asarray(tl.res_layer1.norm.bias.detach().numpy())
+        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
+            put_lin(("video_encoder", f"layer{n}", "self_att", ln),
+                    getattr(tl.self_att, ln))
+        for fc in ("fc1", "fc2"):
+            put_lin(("video_encoder", f"layer{n}", "feed_forward", fc),
+                    getattr(tl.feed_forward, fc))
+    put_lin(("embedding_layer",), tmod.embedding_layer)
+    if smart_final == "lin":
+        put_lin(("lin_final",), tmod.lin_final)
+
+    got = jmod.apply({"params": params,
+                      "batch_stats": variables.get("batch_stats", {})},
+                     x_nhwc, video_masks=jnp.asarray(masks), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
