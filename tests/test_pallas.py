@@ -117,6 +117,35 @@ def test_flash_attention_streaming_path(monkeypatch):
         assert np.isfinite(np.asarray(a)).all()
 
 
+def test_flash_attention_shape_sweep():
+    """Forward+backward parity across irregular shapes: unaligned sequence
+    lengths, asymmetric Sq/Sk, head dims 16-128, with and without masks."""
+    rng = np.random.RandomState(12)
+    shapes = [
+        (1, 1, 37, 16, 41),    # tiny, unaligned, Sq != Sk
+        (2, 3, 129, 64, 129),  # just past one lane tile
+        (1, 2, 200, 128, 100), # d == 128, Sk < Sq
+        (1, 4, 96, 32, 256),   # Sk > Sq
+    ]
+    for B, H, Sq, d, Sk in shapes:
+        q = jnp.asarray(rng.randn(B, H, Sq, d), jnp.float32)
+        k = jnp.asarray(rng.randn(B, H, Sk, d), jnp.float32)
+        v = jnp.asarray(rng.randn(B, H, Sk, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.2, jnp.float32)
+        out = flash_attention(q, k, v, mask, 0.2)
+        ref = _attention_reference(q, k, v, mask, 0.2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=str((B, H, Sq, d, Sk)))
+        g = jax.grad(lambda a, b, c: flash_attention(a, b, c, mask, 0.2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda a, b, c: _attention_reference(a, b, c, mask, 0.2)
+                      .sum(), argnums=(0, 1, 2))(q, k, v)
+        for x, y in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5,
+                                       err_msg=str((B, H, Sq, d, Sk)))
+
+
 def test_flash_attention_bf16():
     """bf16 inputs, fp32 accumulation: out/grads close to the fp32 oracle."""
     rng = np.random.RandomState(5)
