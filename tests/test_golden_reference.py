@@ -345,80 +345,80 @@ def test_lstp_cross_attention_matches_reference_torch(ref_mvformer, variant):
     assert attn.shape == (F_frames, nst + nsd, S)
 
 
-@pytest.mark.parametrize("smart_final", ["max", "one", "avg", "lin"])
-def test_mvformer_head_matches_reference_torch(ref_mvformer, smart_final):
-    """End-to-end golden test of the ENTIRE MV-Former head: the reference's
-    MultiEntityTransformerEmbModel (per-sample LSTP loop + per-token pos-enc
-    + joint 1440-style encoder + SMART_FINAL reduction) with transplanted
-    weights == our vectorized flax module. one_hot='none' (the reference's
-    one-hot branches call x.get_device(), CPU-incompatible; one-hot math is
-    covered by the model-matrix tests)."""
+_MVF_DIMS = dict(T=5, h=3, w=4, C_in=24, nst=3, spc=16, hid=16, d_ff=32,
+                 nlayers=2, nheads=4, emb_size=8, fc_ch=16)
+
+
+def _jcopy(a):
+    """COPYING conversion for weight transplant: `t.detach().numpy()` views
+    torch storage and `jnp.asarray` may alias it zero-copy on CPU — a later
+    torch `optimizer.step()` would silently mutate the 'transplanted' jax
+    params (cost a debugging session in the trajectory test)."""
+    return jnp.array(np.ascontiguousarray(a), copy=True)
+
+
+def _build_mvf_pair(ref_mvformer, smart_final, B=2):
+    """Reference torch MVF head + our flax head sharing transplanted weights.
+    Returns (tmod, jmod, variables, dims). Used by the forward capstone test
+    and the optimization-trajectory test."""
     from video_rep_learning_tpu.models.mvformer import (
         MultiEntityTransformerEmbModel)
 
-    B, T, h, w, C_in = 2, 5, 3, 4, 24
-    nst, spc, hid, d_ff, nlayers, nheads, emb_size = 3, 16, 16, 32, 2, 4, 8
-    fc_ch = 16
-
-    emb_cfg = _AD(FC_DROPOUT_RATE=0.0, SMART_POOL_CHANNELS=spc,
-                  SMART_TOKENS=nst, CAPACITY_SCALAR=1,
-                  FC_LAYERS=[[fc_ch, True]], EMBEDDING_SIZE=emb_size,
-                  HIDDEN_SIZE=hid, NUM_LAYERS=nlayers, NUM_HEADS=nheads,
-                  D_FF=d_ff, SMART_FINAL=smart_final)
+    d = _MVF_DIMS
+    T, h, w, C_in = d["T"], d["h"], d["w"], d["C_in"]
+    emb_cfg = _AD(FC_DROPOUT_RATE=0.0, SMART_POOL_CHANNELS=d["spc"],
+                  SMART_TOKENS=d["nst"], CAPACITY_SCALAR=1,
+                  FC_LAYERS=[[d["fc_ch"], True]], EMBEDDING_SIZE=d["emb_size"],
+                  HIDDEN_SIZE=d["hid"], NUM_LAYERS=d["nlayers"],
+                  NUM_HEADS=d["nheads"], D_FF=d["d_ff"],
+                  SMART_FINAL=smart_final)
     cfg = _AD(MODEL=_AD(EMBEDDER_MODEL=emb_cfg,
                         BASE_MODEL=_AD(OUT_CHANNEL=C_in)),
               TRAIN=_AD(NUM_FRAMES=T))
 
-    tmod = ref_mvformer.MultiEntityTransformerEmbModel(cfg).eval()
-
-    rng = np.random.RandomState(12)
-    x_nchw = rng.randn(B, T, C_in, h, w).astype(np.float32)
-    masks = np.ones((B, 1, T), np.float32)
-    masks[1, 0, -2:] = 0
-    with torch.no_grad():
-        want = tmod(torch.from_numpy(x_nchw),
-                    video_masks=torch.from_numpy(masks)).numpy()
+    tmod = ref_mvformer.MultiEntityTransformerEmbModel(cfg)
 
     jmod = MultiEntityTransformerEmbModel(
-        hidden_channels=hid, embedding_size=emb_size, fc_channels=(fc_ch,),
-        drop_rate=0.0, num_layers=nlayers, num_heads=nheads, d_ff=d_ff,
-        train_num_frames=T, num_static=nst, num_dynamic=0,
-        pool_channels=spc, smart_final=smart_final)
-    x_nhwc = jnp.asarray(np.moveaxis(x_nchw, 2, -1))  # (B, T, h, w, C)
-    variables = jmod.init(jax.random.key(0), x_nhwc,
-                          video_masks=jnp.asarray(masks))
+        hidden_channels=d["hid"], embedding_size=d["emb_size"],
+        fc_channels=(d["fc_ch"],), drop_rate=0.0, num_layers=d["nlayers"],
+        num_heads=d["nheads"], d_ff=d["d_ff"], train_num_frames=T,
+        num_static=d["nst"], num_dynamic=0, pool_channels=d["spc"],
+        smart_final=smart_final)
+    x0 = jnp.zeros((B, T, h, w, C_in), jnp.float32)
+    variables = jmod.init(jax.random.key(0), x0,
+                          video_masks=jnp.ones((B, 1, T), jnp.float32))
     params = variables["params"]
 
     def put_lin(path, tlin):
         node = params
         for p in path[:-1]:
             node = node[p]
-        node[path[-1]]["Dense_0"]["kernel"] = jnp.asarray(
+        node[path[-1]]["Dense_0"]["kernel"] = _jcopy(
             tlin.weight.detach().numpy().T)
-        node[path[-1]]["Dense_0"]["bias"] = jnp.asarray(
+        node[path[-1]]["Dense_0"]["bias"] = _jcopy(
             tlin.bias.detach().numpy())
 
     ca = tmod.pooling.cross_att
     put_lin(("pooling", "cross_att", "linear_K2d"), ca.linear_K2d)
     put_lin(("pooling", "cross_att", "linear_V2d"), ca.linear_V2d)
-    params["pooling"]["cross_att"]["Q_s"] = jnp.asarray(ca.Q_s.detach().numpy())
-    params["pooling"]["cross_att"]["Q_s_b"] = jnp.asarray(
+    params["pooling"]["cross_att"]["Q_s"] = _jcopy(ca.Q_s.detach().numpy())
+    params["pooling"]["cross_att"]["Q_s_b"] = _jcopy(
         ca.Q_s_b.detach().numpy())
 
     put_lin(("fc_layers", "fc0"), tmod.fc_layers[1])
     bn = tmod.fc_layers[2]
-    params["fc_layers"]["bn0"]["BatchNorm_0"]["scale"] = jnp.asarray(
+    params["fc_layers"]["bn0"]["BatchNorm_0"]["scale"] = _jcopy(
         bn.weight.detach().numpy())
-    params["fc_layers"]["bn0"]["BatchNorm_0"]["bias"] = jnp.asarray(
+    params["fc_layers"]["bn0"]["BatchNorm_0"]["bias"] = _jcopy(
         bn.bias.detach().numpy())
     put_lin(("video_emb",), tmod.video_emb)
-    for n in range(nlayers):
+    for n in range(d["nlayers"]):
         tl = tmod.video_encoder.enc_layers[n]
         base = params["video_encoder"][f"layer{n}"]
-        base["norm0"]["scale"] = jnp.asarray(tl.res_layer0.norm.weight.detach().numpy())
-        base["norm0"]["bias"] = jnp.asarray(tl.res_layer0.norm.bias.detach().numpy())
-        base["norm1"]["scale"] = jnp.asarray(tl.res_layer1.norm.weight.detach().numpy())
-        base["norm1"]["bias"] = jnp.asarray(tl.res_layer1.norm.bias.detach().numpy())
+        base["norm0"]["scale"] = _jcopy(tl.res_layer0.norm.weight.detach().numpy())
+        base["norm0"]["bias"] = _jcopy(tl.res_layer0.norm.bias.detach().numpy())
+        base["norm1"]["scale"] = _jcopy(tl.res_layer1.norm.weight.detach().numpy())
+        base["norm1"]["bias"] = _jcopy(tl.res_layer1.norm.bias.detach().numpy())
         for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
             put_lin(("video_encoder", f"layer{n}", "self_att", ln),
                     getattr(tl.self_att, ln))
@@ -429,7 +429,183 @@ def test_mvformer_head_matches_reference_torch(ref_mvformer, smart_final):
     if smart_final == "lin":
         put_lin(("lin_final",), tmod.lin_final)
 
-    got = jmod.apply({"params": params,
-                      "batch_stats": variables.get("batch_stats", {})},
-                     x_nhwc, video_masks=jnp.asarray(masks), train=False)
+    return tmod, jmod, {
+        "params": params,
+        "batch_stats": variables.get("batch_stats", {})}, d
+
+
+@pytest.mark.parametrize("smart_final", ["max", "one", "avg", "lin"])
+def test_mvformer_head_matches_reference_torch(ref_mvformer, smart_final):
+    """End-to-end golden test of the ENTIRE MV-Former head: the reference's
+    MultiEntityTransformerEmbModel (per-sample LSTP loop + per-token pos-enc
+    + joint 1440-style encoder + SMART_FINAL reduction) with transplanted
+    weights == our vectorized flax module. one_hot='none' (the reference's
+    one-hot branches call x.get_device(), CPU-incompatible; one-hot math is
+    covered by the model-matrix tests)."""
+    B = 2
+    tmod, jmod, variables, d = _build_mvf_pair(ref_mvformer, smart_final, B)
+    tmod = tmod.eval()
+    T, h, w, C_in = d["T"], d["h"], d["w"], d["C_in"]
+
+    rng = np.random.RandomState(12)
+    x_nchw = rng.randn(B, T, C_in, h, w).astype(np.float32)
+    masks = np.ones((B, 1, T), np.float32)
+    masks[1, 0, -2:] = 0
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x_nchw),
+                    video_masks=torch.from_numpy(masks)).numpy()
+
+    x_nhwc = jnp.asarray(np.moveaxis(x_nchw, 2, -1))  # (B, T, h, w, C)
+    got = jmod.apply(variables, x_nhwc, video_masks=jnp.asarray(masks),
+                     train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Optimization-trajectory parity (VERDICT r2 missing #2): N full training
+# steps — head forward + SCL loss + optimizer (+ per-epoch LR schedule) —
+# side-by-side with the reference torch modules from transplanted weights on
+# identical batches. This is where integration drift (LR stepping semantics,
+# coupled-L2 placement, momentum init, BN train-mode stats) hides.
+# Reference loop: `train.py:57-186`, `utils/optimizer.py:10-104`.
+# ---------------------------------------------------------------------------
+
+
+def _trajectory_cfg(opt_type, max_epochs):
+    from video_rep_learning_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.OPTIMIZER.TYPE = opt_type
+    cfg.OPTIMIZER.LR.INITIAL_LR = 1e-3
+    cfg.OPTIMIZER.LR.DECAY_TYPE = "cosine"
+    cfg.OPTIMIZER.WEIGHT_DECAY = 1e-4
+    cfg.OPTIMIZER.GRAD_CLIP = 0.0
+    cfg.TRAIN.MAX_EPOCHS = max_epochs
+    return cfg
+
+
+@pytest.mark.parametrize("opt_type", ["AdamOptimizer", "MomentumOptimizer"])
+def test_optimization_trajectory_matches_reference_torch(ref_mvformer,
+                                                         ref_scl, opt_type):
+    """>= 10 identical-batch training steps across 3 'epochs' (exercising the
+    cosine per-epoch LR stepping incl. the skip-on-last-epoch quirk,
+    `train.py:185-186`): per-step losses must track and the final models must
+    agree on a held-out eval forward (which also checks BN running-stat
+    momentum parity)."""
+    import optax
+
+    from video_rep_learning_tpu.algos.scl import scl_sequence_loss
+    from video_rep_learning_tpu.train.optimizer import (
+        learning_rate_for_epoch, make_optimizer, set_learning_rate)
+
+    B, V = 2, 2
+    tmod, jmod, variables, d = _build_mvf_pair(ref_mvformer, "one", B * V)
+    T, h, w, C_in = d["T"], d["h"], d["w"], d["C_in"]
+    emb = d["emb_size"]
+
+    EPOCHS, STEPS = 3, 4
+    cfg = _trajectory_cfg(opt_type, EPOCHS)
+
+    rng = np.random.RandomState(21)
+    batches = []
+    for _ in range(2):  # two distinct batches, alternated
+        x = rng.randn(B * V, T, C_in, h, w).astype(np.float32)
+        masks = np.ones((B * V, 1, T), np.float32)
+        seq_lens = rng.randint(30, 100, size=(B, V)).astype(np.float32)
+        steps_ = np.sort(rng.randint(0, 80, size=(B, V, T)), axis=-1).astype(
+            np.float32)
+        batches.append((x, masks, seq_lens, steps_))
+
+    scl_kw = dict(temperature=0.1, label_varience=10.0,
+                  positive_type="gauss", negative_type="single_noself")
+
+
+    # ---- torch side: the reference's own modules + optimizer + scheduler
+    ref_cfg = _ns(SCL=_ns(POSITIVE_TYPE="gauss",
+                          NEGATIVE_TYPE="single_noself",
+                          SOFTMAX_TEMPERATURE=0.1, LABEL_VARIENCE=10.0,
+                          POSITIVE_WINDOW=5),
+                  MODEL=_ns(EMBEDDER_MODEL=_ns(EMBEDDING_SIZE=emb)))
+    ref_algo = ref_scl.SCL(ref_cfg)
+    tmod = tmod.train()
+    if opt_type == "AdamOptimizer":
+        topt = torch.optim.Adam(tmod.parameters(), lr=1e-3,
+                                betas=(0.9, 0.999), weight_decay=1e-4)
+    else:
+        topt = torch.optim.SGD(tmod.parameters(), lr=1e-3, momentum=0.9,
+                               weight_decay=1e-4)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        topt, T_max=EPOCHS + 1, eta_min=0, last_epoch=-1)
+
+    torch_losses = []
+    for epoch in range(EPOCHS):
+        for it in range(STEPS):
+            x, masks, seq_lens, steps_ = batches[(epoch * STEPS + it) % 2]
+            topt.zero_grad()
+            embs = tmod(torch.from_numpy(x),
+                        video_masks=torch.from_numpy(masks))
+            # L2-normalize like the real pipeline (`transformer.py` projection
+            # -> F.normalize): the reference SCL exp(sim/0.1) overflows on
+            # unnormalized embeddings (NaN grads through safe_div)
+            embs = torch.nn.functional.normalize(embs, dim=-1)
+            loss = ref_algo.compute_sequence_loss(
+                embs.view(B, V, T, emb), torch.from_numpy(seq_lens),
+                torch.from_numpy(steps_),
+                torch.from_numpy(masks.reshape(B, V, T)))["loss"]
+            loss.backward()
+            topt.step()
+            torch_losses.append(loss.item())
+        if epoch != EPOCHS - 1:  # `train.py:185-186`
+            tsched.step()
+
+    # ---- our side: flax head + algos/scl + train/optimizer + LR function
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, x_nhwc, masks, seq_lens, steps_):
+        def loss_fn(p):
+            out, mut = jmod.apply(
+                {"params": p, "batch_stats": bstats}, x_nhwc,
+                video_masks=masks, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)})
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            loss = scl_sequence_loss(
+                out.reshape(B, V, T, emb), seq_lens, steps_,
+                masks.reshape(B, V, T), **scl_kw)["loss"]
+            return loss, mut["batch_stats"]
+
+        (loss, new_bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bstats, opt_state, loss
+
+    jax_losses = []
+    for epoch in range(EPOCHS):
+        opt_state = set_learning_rate(
+            opt_state, learning_rate_for_epoch(cfg, epoch))
+        for it in range(STEPS):
+            x, masks, seq_lens, steps_ = batches[(epoch * STEPS + it) % 2]
+            x_nhwc = jnp.asarray(np.moveaxis(x, 2, -1))
+            params, bstats, opt_state, loss = train_step(
+                params, bstats, opt_state, x_nhwc, jnp.asarray(masks),
+                jnp.asarray(seq_lens), jnp.asarray(steps_))
+            jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3,
+                               err_msg="per-step loss trajectories diverged")
+
+    # held-out eval forward: final params AND BN running stats must agree
+    x_eval = rng.randn(B * V, T, C_in, h, w).astype(np.float32)
+    m_eval = np.ones((B * V, 1, T), np.float32)
+    with torch.no_grad():
+        want = tmod.eval()(torch.from_numpy(x_eval),
+                           video_masks=torch.from_numpy(m_eval)).numpy()
+    got = jmod.apply({"params": params, "batch_stats": bstats},
+                     jnp.asarray(np.moveaxis(x_eval, 2, -1)),
+                     video_masks=jnp.asarray(m_eval), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
+                               err_msg="post-training models diverged")

@@ -169,6 +169,9 @@ def _defaults() -> ConfigNode:
     # TPU-native addition: rematerialize trainable-tail activations
     # (jax.checkpoint) to trade FLOPs for HBM on partial-finetune configs.
     c.MODEL.REMAT = False
+    # TPU-native addition: W8A8 dynamic-int8 matmuls in the FROZEN backbone
+    # (2x MXU rate on v5e; ops/quant.py). Ignored for TRAIN_BASE=train_all.
+    c.MODEL.QUANTIZE_BACKBONE = False
 
     c.MODEL.BASE_MODEL = ConfigNode()
     c.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"

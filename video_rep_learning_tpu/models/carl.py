@@ -24,6 +24,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -90,6 +91,10 @@ class ModelSpec:
     ln_keys: bool
     dyn_ctrl: str
     remat: bool = False
+    # W8A8 int8 matmuls in the FROZEN ViT front (TPU-native extension, no
+    # reference counterpart): 2x MXU rate on v5e. Never applied when the
+    # backbone is differentiable (TRAIN_BASE == 'train_all').
+    quantize_backbone: bool = False
 
 
 def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
@@ -216,6 +221,10 @@ def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
         num_contexts=cfg.DATA.NUM_CONTEXTS,
         projection_hidden=m.PROJECTION_SIZE,
         remat=bool(m.get("REMAT", False)),
+        quantize_backbone=(
+            (bool(m.get("QUANTIZE_BACKBONE", False))
+             or os.environ.get("VRL_INT8_BACKBONE", "0") == "1")
+            and m.TRAIN_BASE != "train_all"),
         num_static=e.SMART_TOKENS,
         num_dynamic=e.SMART_DYNAMIC_TOKENS,
         pool_channels=pool_channels,
@@ -261,7 +270,7 @@ class CARLModel(nn.Module):
             fully_frozen = s.vit_frozen_blocks >= s.vit_spec.depth
             self.backbone = ViTFrontEnd(s.vit_spec, s.vit_frozen_blocks,
                                         s.tap_blocks, include_norm=fully_frozen,
-                                        dtype=bdt)
+                                        dtype=bdt, quant=s.quantize_backbone)
             self.res_finetune = None if fully_frozen else back_cls(
                 s.vit_spec, s.vit_frozen_blocks, s.tap_blocks, dtype=bdt)
         else:

@@ -82,6 +82,8 @@ class TpuLayerNorm(nn.Module):
         if x.ndim != 3:
             x = x.reshape((-1,) + orig[-2:]) if x.ndim > 3 else x[None]
         y = fused_layernorm(x, scale, bias, self.epsilon)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)  # match nn.LayerNorm(dtype=...) output
         return y.reshape(orig)
 
 
@@ -89,13 +91,22 @@ class ViTAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: Optional[Any] = None
+    quant: bool = False  # W8A8 dynamic int8 matmuls (frozen backbone only)
+
+    def _dense(self, x, features, name):
+        if not self.quant:
+            return nn.Dense(features, kernel_init=_trunc02, dtype=self.dtype,
+                            name=name)(x)
+        from ..ops.quant import int8_dense
+
+        k, b = _RawDenseParams(x.shape[-1], features, name=name)()
+        return int8_dense(x.astype(self.dtype) if self.dtype else x, k, b)
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, kernel_init=_trunc02, dtype=self.dtype,
-                       name="qkv")(x)
+        qkv = self._dense(x, self.dim * 3, "qkv")
         # contiguous [q; k; v] slices (timm weight layout) — cheaper for XLA
         # to fuse than a (3, ...) moveaxis split
         D = self.dim
@@ -118,8 +129,7 @@ class ViTAttention(nn.Module):
             # 785-token frames (SURVEY.md §5).
 
             out = packed_vit_attention(qkv, self.num_heads)
-            return nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
-                            name="proj")(out)
+            return self._dense(out, self.dim, "proj")
 
         def split(s):
             return s.reshape(B, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -143,8 +153,7 @@ class ViTAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                              preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype,
-                        name="proj")(out)
+        return self._dense(out, self.dim, "proj")
 
 
 class _RawDenseParams(nn.Module):
@@ -183,6 +192,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Optional[Any] = None
+    quant: bool = False  # W8A8 dynamic int8 matmuls (frozen backbone only)
 
     @nn.compact
     def __call__(self, x):
@@ -217,24 +227,35 @@ class ViTBlock(nn.Module):
         else:
             y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
             x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 name="attn")(y)
+                                 quant=self.quant, name="attn")(y)
         y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        # Exact (erf) GELU costs ~50 ms/step of pure VPU transcendentals on
-        # the MVF workload. Under bf16 the tanh approximation's max error
-        # (~3e-3 relative at |x|~2.3) sits below the bf16 output rounding
-        # (~3.9e-3 ulp), and the torch reference's autocast runs GELU in
-        # fp16 with comparable rounding — so approximate GELU is numerically
-        # free on the AMP path. fp32 keeps exact erf (timm parity); force
-        # exact everywhere with VRL_EXACT_GELU=1.
+        # Exact (erf) GELU is the DEFAULT — timm parity. The fused fc1
+        # kernel computes erf via the A&S 7.1.26 polynomial (1.5e-7 abs, see
+        # ops/matmul_gelu_pallas.py), so exactness no longer costs the ~50
+        # ms/step the standalone XLA erf pass did. VRL_APPROX_GELU=1 opts
+        # back into tanh-approximate (error below bf16 rounding; kept for
+        # A/B measurement only).
         approx = (self.dtype == jnp.bfloat16
+                  and _os.environ.get("VRL_APPROX_GELU", "0") == "1"
                   and _os.environ.get("VRL_EXACT_GELU", "0") != "1")
         d_ff = int(self.dim * self.mlp_ratio)
 
         from ..ops.matmul_gelu_pallas import (matmul_bias_gelu,
                                               matmul_gelu_eligible)
 
+        if self.quant:
+            # W8A8 int8 MXU matmuls; the dequant + bias + GELU chain fuses
+            # into the int32 accumulator's epilogue under XLA
+            from ..ops.quant import int8_dense
+
+            kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
+            y = int8_dense(y.astype(self.dtype) if self.dtype else y,
+                           kfc1, bfc1, out_dtype=jnp.float32)
+            y = nn.gelu(y, approximate=approx).astype(
+                self.dtype or jnp.float32)
+            kfc2, bfc2 = _RawDenseParams(d_ff, self.dim, name="mlp_fc2")()
+            return x + int8_dense(y, kfc2, bfc2)
         if (_jax.default_backend() == "tpu"
-                and approx  # Mosaic has no erf; exact GELU stays on XLA
                 and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
                 and matmul_gelu_eligible(y.shape[1], self.dim, d_ff,
                                          itemsize)):
@@ -270,6 +291,8 @@ class ViTFrontEnd(nn.Module):
     tap_blocks: Tuple[int, ...] = ()
     include_norm: bool = False
     dtype: Optional[Any] = None
+    quant: bool = False  # W8A8 int8 matmuls — valid because this module is
+    #                      the FROZEN half (pure inference, no grads)
 
     @nn.compact
     def __call__(self, x):
@@ -292,7 +315,8 @@ class ViTFrontEnd(nn.Module):
         taps = []
         for i in range(self.num_blocks):
             x = ViTBlock(s.embed_dim, s.num_heads, s.mlp_ratio,
-                         dtype=self.dtype, name=f"block{i}")(x)
+                         dtype=self.dtype, quant=self.quant,
+                         name=f"block{i}")(x)
             if self.include_norm and i in self.tap_blocks:
                 taps.append(x)
         if not self.include_norm:

@@ -168,10 +168,10 @@ def _fused_forward(q, k, v, kv_mask, sm_scale):
         Sqp, Skp, bq, nq = Sq, Sk, Sq, 1
         qp, kp, vp = q, k, v
     else:
-        Sqp = _round_up(Sq, _LANES)
         Skp = _round_up(Sk, _LANES)
-        bq = _fused_block_q(Sqp, Skp)
-        nq = Sqp // bq
+        bq = _fused_block_q(_round_up(Sq, _LANES), Skp)
+        nq = -(-Sq // bq)
+        Sqp = nq * bq  # pad q to a whole number of blocks: no tail rows lost
         qp = _pad_to(q, Sqp, 2)
         kp = _pad_to(k, Skp, 2)
         vp = _pad_to(v, Skp, 2)
@@ -210,10 +210,10 @@ def _fused_backward(q, k, v, kv_mask, o, lse, g, sm_scale):
         Sqp, Skp, bq, nq = Sq, Sk, Sq, 1
         qp, kp, vp, gp = q, k, v, g
     else:
-        Sqp = _round_up(Sq, _LANES)
         Skp = _round_up(Sk, _LANES)
-        bq = _fused_block_q(Sqp, Skp)
-        nq = Sqp // bq
+        bq = _fused_block_q(_round_up(Sq, _LANES), Skp)
+        nq = -(-Sq // bq)
+        Sqp = nq * bq  # matches _fused_forward: lse already has these rows
         qp = _pad_to(q, Sqp, 2)
         kp = _pad_to(k, Skp, 2)
         vp = _pad_to(v, Skp, 2)

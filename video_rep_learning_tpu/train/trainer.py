@@ -196,8 +196,11 @@ class Trainer:
         def train_step(state, batch, key, it, warmup_active, lr):
             # the per-step key folds INSIDE jit: an eager fold_in per step
             # costs ~4.5 ms of relay dispatch latency on the critical path
-            # (measured r2); `it` rides along as a bundled scalar for free
-            key = jax.random.fold_in(key, it)
+            # (measured r2); `it` rides along as a bundled scalar for free.
+            # The leading fold_in(·, 0) tags the TRAIN stream — val tags 1 —
+            # so the two streams are disjoint by construction for any it
+            # (r2 verdict: the old +10M offset collided past epoch 100)
+            key = jax.random.fold_in(jax.random.fold_in(key, 0), it)
             k_aug, k_drop = jax.random.split(key)
             videos = self._augment_batch(k_aug, batch)
             step_batch = dict(batch, videos=videos)
@@ -235,7 +238,9 @@ class Trainer:
 
         @jax.jit
         def val_step(state, batch, key, it):
-            videos = self._augment_batch(jax.random.fold_in(key, it), batch)
+            # stream tag 1 = validation (train tags 0): disjoint for any it
+            key = jax.random.fold_in(jax.random.fold_in(key, 1), it)
+            videos = self._augment_batch(key, batch)
             step_batch = dict(batch, videos=videos)
             params = merge_params(state["trainable"], state["frozen"])
             variables = {"params": params, "batch_stats": state["batch_stats"]}
@@ -341,8 +346,7 @@ class Trainer:
         for cur_iter, batch in enumerate(self.val_loader):
             dev_batch = self._device_batch(batch)
             loss_dict, videos = self._val_step(self.state, dev_batch,
-                                               self._base_key,
-                                               10_000_000 + cur_iter)
+                                               self._base_key, cur_iter)
             loss_dict = jax.device_get(loss_dict)
             last_videos, last_names = videos, batch.get("names")
             for k, v in loss_dict.items():
