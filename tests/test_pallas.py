@@ -306,6 +306,17 @@ def test_erf_poly_and_exact_gelu_vs_torch():
         torch.tensor(np.asarray(x), dtype=torch.float32)).numpy()
     np.testing.assert_allclose(np.asarray(_gelu_exact(x)), want, atol=2e-6)
 
+    # the exp/divide-free tanh-argument erf used for bf16 epilogues: its
+    # 3.3e-6 erf bound => GELU within ~1.5e-5 of torch in fp32, three
+    # orders below bf16 output rounding
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import _erf_tanh
+
+    np.testing.assert_allclose(np.asarray(_erf_tanh(x)),
+                               np.asarray(jax.scipy.special.erf(x)),
+                               atol=4e-6)
+    fast = np.asarray(_gelu_exact(x, fast_tail=True))
+    np.testing.assert_allclose(fast, want, atol=2e-5)
+
 
 def test_matmul_gelu_tile_choice_lane_aligned():
     """Regression (ADVICE r2): bn halving must never land on a tile that is

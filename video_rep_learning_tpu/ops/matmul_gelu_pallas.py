@@ -46,17 +46,37 @@ def _erf_poly(x):
 
 _INV_SQRT2 = 0.7071067811865476
 
+# erf(z) = tanh(c1 z + c3 z^3 + c5 z^5 + c7 z^7 + c9 z^9): least-squares fit
+# on [0, 6], max abs error 3.3e-6 — one tanh, five FMAs, NO exp/divide (the
+# A&S form costs ~0.8 ms/block more on the fc1 epilogue: exp + reciprocal).
+# 3.3e-6 erf error => GELU abs error < ~1e-5, three orders below bf16
+# output rounding; fp32 outputs use the 1.5e-7 A&S form instead.
+_ERF_TANH_C = (1.1283601734193578, 0.10292073498783283,
+               -0.0004800862861338727, -0.0004224628796990528,
+               3.318372459759824e-05)
 
-def _gelu_exact(x):
+
+def _erf_tanh(z):
+    z2 = z * z
+    c1, c3, c5, c7, c9 = _ERF_TANH_C
+    arg = z * (c1 + z2 * (c3 + z2 * (c5 + z2 * (c7 + z2 * c9))))
+    return jnp.tanh(arg)
+
+
+def _gelu_exact(x, fast_tail=False):
     # torch F.gelu / timm default: 0.5 x (1 + erf(x / sqrt(2)))
-    return 0.5 * x * (1.0 + _erf_poly(x * _INV_SQRT2))
+    erf_fn = _erf_tanh if fast_tail else _erf_poly
+    return 0.5 * x * (1.0 + erf_fn(x * _INV_SQRT2))
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, approximate):
     acc = jax.lax.dot(x_ref[0], w_ref[...],
                       preferred_element_type=jnp.float32)
     y = acc + b_ref[0].astype(jnp.float32)
-    act = _gelu_tanh(y) if approximate else _gelu_exact(y)
+    if approximate:
+        act = _gelu_tanh(y)
+    else:
+        act = _gelu_exact(y, fast_tail=o_ref.dtype == jnp.bfloat16)
     o_ref[0] = act.astype(o_ref.dtype)
 
 
