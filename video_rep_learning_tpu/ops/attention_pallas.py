@@ -426,38 +426,71 @@ def packed_vit_eligible(num_heads: int, dh: int, N: int = 0,
                         itemsize: int = 2) -> bool:
     if _packed_heads_per_program(num_heads, dh) is None:
         return False
-    # VMEM budget: double-buffered (N, 3D) input + (N, D) output + fp32
-    # score tile. fp32 ViT-B/8 (no-AMP) overflows -> standard flash path.
+    # VMEM budget: double-buffered (N, 3D) input + (N, D) output + ~4 live
+    # fp32 score tiles (the all-heads-per-program schedule keeps several
+    # head pipelines in flight — ViT-B/8 bf16 measures 17.45 MB scoped).
+    # fp32 ViT-B/8 (no-AMP) overflows -> standard flash path.
     D = num_heads * dh
     Np = _round_up(max(N, 1), 8)
-    need = (2 * Np * 3 * D * itemsize + Np * D * itemsize
-            + Np * _round_up(Np, _LANES) * 4)
-    return need <= 14 * 1024 * 1024
+    need = (2 * Np * 3 * D * itemsize + 2 * Np * D * itemsize
+            + 4 * Np * _round_up(Np, _LANES) * 4)
+    return need <= _PACKED_VMEM_CAP
 
 
-def _packed_kernel(qkv_ref, o_ref, *, hp, dh, D, sm_scale):
-    g = pl.program_id(1)
-    off = pl.multiple_of(g * hp * dh, _LANES)
-    w = hp * dh  # 128-aligned lane slab holding `hp` heads
-    qs = qkv_ref[0, :, pl.ds(off, w)]            # (N, w)
-    ks = qkv_ref[0, :, pl.ds(D + off, w)]
-    vs = qkv_ref[0, :, pl.ds(2 * D + off, w)]
-    outs = []
-    for t in range(hp):  # static unroll: value-level head split
-        q = qs[:, t * dh:(t + 1) * dh]
-        k = ks[:, t * dh:(t + 1) * dh]
-        v = vs[:, t * dh:(t + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (N, N) fp32
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32) / l
-        outs.append(o.astype(o_ref.dtype))
-    o_ref[0, :, pl.ds(off, w)] = (
-        outs[0] if hp == 1 else jnp.concatenate(outs, axis=1))
+# Max-free softmax bound: exp2(min(s2, _NOMAX_CLAMP)) is EXACT softmax (the
+# row-max shift cancels algebraically) for every row whose max scaled logit
+# s2 = s*log2(e) stays below the clamp — i.e. logits <= 110/log2(e) ~ 76 —
+# because 2^110 * N ~ 3e35 stays finite in fp32 and tiny logits underflow to
+# exactly 0 either way. LN'd ViT activations keep attention logits well
+# under ~30; beyond 76 softmax is a saturated one-hot where the clamp's
+# tie-flattening error is immeasurable. Skipping the row-max pass + subtract
+# removes ~2 of the 5 VPU passes over the (N, N) tile: measured 61 -> 75
+# T/s at the ViT-B/8 shape (tools/bench_packed_attn.py). VRL_ATTN_MAXSUB=1
+# restores the classic max-subtracted softmax.
+_NOMAX_CLAMP = 110.0
+_LOG2E = 1.4426950408889634
+# Scoped-VMEM ceiling granted to the packed kernel (default limit is 16 MB;
+# ViT-B/8 bf16 needs 17.45 MB under the all-heads schedule). Eligibility
+# keeps a margin below the grant so compile can never stack-OOM.
+_PACKED_VMEM_LIMIT = 32 * 1024 * 1024
+_PACKED_VMEM_CAP = 28 * 1024 * 1024
+
+
+def _use_maxsub():
+    import os
+    return os.environ.get("VRL_ATTN_MAXSUB", "0") == "1"
+
+
+def _packed_kernel(qkv_ref, o_ref, *, hp, groups, dh, D, sm_scale, maxsub):
+    # One program per image computes ALL heads: 12 independent
+    # matmul->softmax->matmul chains in one schedule give Mosaic the freedom
+    # to overlap head t+1's MXU score matmul with head t's VPU softmax
+    # (measured ~8% over the 2-head-per-program grid).
+    scale = sm_scale if maxsub else sm_scale * _LOG2E
+    for g in range(groups):
+        off = pl.multiple_of(g * hp * dh, _LANES)
+        w = hp * dh  # 128-aligned lane slab holding `hp` heads
+        qs = qkv_ref[0, :, pl.ds(off, w)]            # (N, w)
+        ks = qkv_ref[0, :, pl.ds(D + off, w)]
+        vs = qkv_ref[0, :, pl.ds(2 * D + off, w)]
+        outs = []
+        for t in range(hp):  # static unroll: value-level head split
+            q = qs[:, t * dh:(t + 1) * dh]
+            k = ks[:, t * dh:(t + 1) * dh]
+            v = vs[:, t * dh:(t + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (N, N) fp32
+            if maxsub:
+                p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+            else:
+                p = jnp.exp2(jnp.minimum(s, _NOMAX_CLAMP))
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32) / l
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[0, :, pl.ds(off, w)] = (
+            outs[0] if hp == 1 else jnp.concatenate(outs, axis=1))
 
 
 def _packed_forward(qkv, num_heads):
@@ -467,17 +500,19 @@ def _packed_forward(qkv, num_heads):
     hp = _packed_heads_per_program(num_heads, dh)
     sm_scale = 1.0 / math.sqrt(dh)
     return pl.pallas_call(
-        functools.partial(_packed_kernel, hp=hp, dh=dh, D=D,
-                          sm_scale=sm_scale),
+        functools.partial(_packed_kernel, hp=hp, groups=num_heads // hp,
+                          dh=dh, D=D, sm_scale=sm_scale,
+                          maxsub=_use_maxsub()),
         out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(B, num_heads // hp),
-            in_specs=[pl.BlockSpec((1, N, threeD), lambda b, g: (b, 0, 0))],
-            out_specs=pl.BlockSpec((1, N, D), lambda b, g: (b, 0, 0)),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, N, threeD), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT),
     )(qkv)
 
 
