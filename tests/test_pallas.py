@@ -288,6 +288,63 @@ def test_fused_matmul_gelu_matches_reference(approx):
                                    atol=2e-4)
 
 
+@pytest.mark.parametrize("activation", ["none", "gelu_exact", "gelu_tanh"])
+def test_ln_matmul_bias_act_matches_reference(activation):
+    """act(LN(x) @ w + b) with LN folded into the matmul prologue must match
+    the LN-then-matmul composition (the ViT block's module path) exactly."""
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
+        _reference_ln, ln_matmul_bias_act)
+
+    rng = np.random.RandomState(11)
+    B, N, K, F = 2, 150, 128, 256
+    x = jnp.asarray(rng.randn(B, N, K) * 2.0 + 0.5, jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(K), jnp.float32)
+    be = jnp.asarray(0.1 * rng.randn(K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, F) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(F) * 0.05, jnp.float32)
+    got = ln_matmul_bias_act(x, g, be, w, b, activation)
+    want = _reference_ln(x, g, be, w, b, activation, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    grads = jax.grad(
+        lambda *a: jnp.sum(ln_matmul_bias_act(*a, activation) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, g, be, w, b)
+    gref = jax.grad(
+        lambda *a: jnp.sum(_reference_ln(*a, activation, 1e-6) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, g, be, w, b)
+    for a, c in zip(grads, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_vit_block_fused_ln_paths_match_module_path(monkeypatch):
+    """The TPU fused LN1+qkv / LN2+fc1 ViT block paths must share the module
+    path's exact param tree (checkpoint compatibility) and outputs."""
+    import jax as _jax
+
+    from video_rep_learning_tpu.models.vit import ViTBlock
+
+    rng = np.random.RandomState(12)
+    B, N, dim, heads = 2, 130, 128, 2
+    x = jnp.asarray(rng.randn(B, N, dim), jnp.float32)
+    block = ViTBlock(dim=dim, num_heads=heads)
+    params = block.init(jax.random.key(0), x)
+    want = block.apply(params, x)
+
+    # force the TPU gates on; kernels execute via the interpreter
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        params_fused = block.init(jax.random.key(0), x)
+        got = block.apply(params, x)
+
+    assert (jax.tree_util.tree_structure(params_fused)
+            == jax.tree_util.tree_structure(params))
+    for pa, pb in zip(jax.tree_util.tree_leaves(params_fused),
+                      jax.tree_util.tree_leaves(params)):
+        assert pa.shape == pb.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
 def test_erf_poly_and_exact_gelu_vs_torch():
     """The in-kernel polynomial erf (A&S 7.1.26) must track torch's exact
     erf GELU within its documented 1.5e-7 abs bound (VERDICT r2 weak #2)."""

@@ -225,10 +225,46 @@ class ViTBlock(nn.Module):
             x = vit_attention_block(xb, ln_s, ln_b, kq, bq, kp, bp,
                                     self.num_heads)
         else:
-            y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-            x = x + ViTAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 quant=self.quant, name="attn")(y)
-        y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+            from ..models.layers import _flash_eligible
+            from ..ops.attention_pallas import (packed_vit_attention,
+                                                packed_vit_eligible)
+            from ..ops.matmul_gelu_pallas import (ln_matmul_bias_act,
+                                                  matmul_gelu_eligible as
+                                                  _mm_ok)
+
+            N = x.shape[1]
+            fused_ln_qkv = (
+                _jax.default_backend() == "tpu"
+                and tensor_context() is None and not self.quant
+                and _os.environ.get("VRL_FUSED_LN_QKV", "auto") != "0"
+                and _os.environ.get("VRL_FLASH_ATTENTION", "auto") != "0"
+                and _mm_ok(N, self.dim, 3 * self.dim, itemsize)
+                and packed_vit_eligible(self.num_heads, head_dim, N,
+                                        itemsize)
+                and _flash_eligible(N, None,
+                                    batch_heads=x.shape[0] * self.num_heads,
+                                    d_head=head_dim))
+            if fused_ln_qkv:
+                # LN1 folds into the qkv projection's prologue
+                # (ops/matmul_gelu_pallas.py) — the standalone LN pass over
+                # the token stream disappears; attention consumes the packed
+                # (B, N, 3D) projection directly as before.
+                ln_s, ln_b = _LNParams(name="norm1")(self.dim)
+                kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
+                xb = x.astype(self.dtype) if self.dtype else x
+                qkv = ln_matmul_bias_act(xb, ln_s, ln_b, kq, bq, "none")
+                out = packed_vit_attention(qkv, self.num_heads)
+                dt = self.dtype or out.dtype
+                proj = (jnp.einsum("bnd,df->bnf", out.astype(dt),
+                                   kp.astype(dt))
+                        + bp.astype(dt))
+                x = x + proj
+            else:
+                y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name="norm1")(x)
+                x = x + ViTAttention(self.dim, self.num_heads,
+                                     dtype=self.dtype, quant=self.quant,
+                                     name="attn")(y)
         # Exact (erf) GELU is the DEFAULT — timm parity. The fused fc1
         # kernel computes erf via the A&S 7.1.26 polynomial (1.5e-7 abs, see
         # ops/matmul_gelu_pallas.py), so exactness no longer costs the ~50
@@ -240,7 +276,8 @@ class ViTBlock(nn.Module):
                   and _os.environ.get("VRL_EXACT_GELU", "0") != "1")
         d_ff = int(self.dim * self.mlp_ratio)
 
-        from ..ops.matmul_gelu_pallas import (matmul_bias_gelu,
+        from ..ops.matmul_gelu_pallas import (ln_matmul_bias_act,
+                                              matmul_bias_gelu,
                                               matmul_gelu_eligible)
 
         if self.quant:
@@ -248,6 +285,8 @@ class ViTBlock(nn.Module):
             # into the int32 accumulator's epilogue under XLA
             from ..ops.quant import int8_dense
 
+            y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm2")(x)
             kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
             y = int8_dense(y.astype(self.dtype) if self.dtype else y,
                            kfc1, bfc1, out_dtype=jnp.float32)
@@ -257,15 +296,33 @@ class ViTBlock(nn.Module):
             return x + int8_dense(y, kfc2, bfc2)
         if (_jax.default_backend() == "tpu"
                 and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
-                and matmul_gelu_eligible(y.shape[1], self.dim, d_ff,
+                and _os.environ.get("VRL_FUSED_LN_MM", "auto") != "0"
+                and matmul_gelu_eligible(x.shape[1], self.dim, d_ff,
                                          itemsize)):
+            # LN2 + fc1 + bias + GELU in one Pallas kernel: the LN moves
+            # into the matmul's prologue (fp32 row stats on the VMEM-resident
+            # block) and the GELU into its epilogue — neither pass touches
+            # HBM on its own anymore
+            ln2_s, ln2_b = _LNParams(name="norm2")(self.dim)
+            kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
+            y = ln_matmul_bias_act(
+                x.astype(self.dtype) if self.dtype else x, ln2_s, ln2_b,
+                kfc1, bfc1, "gelu_tanh" if approx else "gelu_exact")
+        elif (_jax.default_backend() == "tpu"
+              and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
+              and matmul_gelu_eligible(x.shape[1], self.dim, d_ff,
+                                       itemsize)):
             # fc1 + bias + GELU fused in one Pallas kernel — the standalone
             # GELU pass over the (tokens, 4D) stream is pure HBM bandwidth
             # (~43 ms/step on MVF) that the matmul epilogue absorbs
+            y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm2")(x)
             kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
             y = matmul_bias_gelu(y.astype(self.dtype) if self.dtype else y,
                                  kfc1, bfc1, approximate=approx)
         else:
+            y = TpuLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm2")(x)
             y = nn.Dense(d_ff, kernel_init=_trunc02, dtype=self.dtype,
                          name="mlp_fc1")(y)
             y = nn.gelu(y, approximate=approx)

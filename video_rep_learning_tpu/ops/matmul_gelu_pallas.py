@@ -147,3 +147,107 @@ matmul_bias_gelu.defvjp(_fwd, _bwd)
 def matmul_gelu_eligible(N: int, K: int, F: int, itemsize: int) -> bool:
     return (K % _LANES == 0 and F % _LANES == 0
             and 2 * N * K * itemsize <= 6 * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm prologue variants: act(LN(x) @ W + b)
+#
+# The standalone fused-LN pass still costs one full read+write of the token
+# stream per LN (~0.6 ms each, 14 ms/step on MVF across 24 instances). The
+# consumer matmul kernels read the SAME rows immediately after — so the
+# normalize moves into the matmul's prologue (fp32 row stats over the full
+# K-wide block, bf16 round-trip to stay bit-compatible with the module
+# path's LN-then-Dense order) and the standalone pass disappears. With the
+# (nJ, B) weight-tile-outer grid the stats are recomputed nJ times per image
+# (nJ = 2 at ViT-B shapes) — pure VPU arithmetic on VMEM-resident rows,
+# ~10 us vs the 0.6 ms HBM pass it replaces.
+# ---------------------------------------------------------------------------
+
+
+def _apply_act(y, activation, out_dtype):
+    if activation == "gelu_exact":
+        return _gelu_exact(y, fast_tail=out_dtype == jnp.bfloat16)
+    if activation == "gelu_tanh":
+        return _gelu_tanh(y)
+    assert activation == "none", activation
+    return y
+
+
+def _ln_rows(x, g, b, eps, dtype):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+    # round to the compute dtype exactly like the module path (LN output is
+    # bf16 under AMP before the Dense consumes it)
+    return y.astype(dtype)
+
+
+def _kernel_ln(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, *, activation, eps):
+    xn = _ln_rows(x_ref[0].astype(jnp.float32), g_ref[0], be_ref[0], eps,
+                  x_ref.dtype)
+    acc = jax.lax.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
+    y = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = _apply_act(y, activation, o_ref.dtype).astype(o_ref.dtype)
+
+
+def _forward_ln(x, g, be, w, b, activation, eps):
+    B, N, K = x.shape
+    F = w.shape[1]
+    bn = _choose_bn(N, K, F, x.dtype.itemsize)
+    nJ = F // bn
+    return pl.pallas_call(
+        functools.partial(_kernel_ln, activation=activation, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nJ, B),  # weight tile outer -> each W tile DMA'd once
+            in_specs=[
+                pl.BlockSpec((1, N, K), lambda j, b: (b, 0, 0)),
+                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
+                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
+                pl.BlockSpec((K, bn), lambda j, b: (0, j)),
+                pl.BlockSpec((1, bn), lambda j, b: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, N, bn), lambda j, b: (b, 0, j)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(x, g[None], be[None], w.astype(x.dtype), b[None])
+
+
+def _reference_ln(x, g, be, w, b, activation, eps):
+    xn = _ln_rows(x.astype(jnp.float32), g, be, eps, x.dtype)
+    y = (jnp.einsum("bnk,kf->bnf", xn, w.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+         + b.astype(jnp.float32))
+    if activation.startswith("gelu"):
+        y = jax.nn.gelu(y, approximate=activation == "gelu_tanh")
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ln_matmul_bias_act(x, ln_scale, ln_bias, w, b, activation="none",
+                       eps=1e-6):
+    """act(LayerNorm(x) @ w + b) with the LN folded into the matmul prologue.
+    x (B, N, K); w (K, F). activation in {"none", "gelu_exact",
+    "gelu_tanh"}. Serves LN1+qkv (none) and LN2+fc1 (gelu) on the frozen
+    ViT hot path (`transformer.py:43-54` backbone block semantics)."""
+    return _forward_ln(x, ln_scale, ln_bias, w, b, activation, eps)
+
+
+def _ln_mm_fwd(x, ln_scale, ln_bias, w, b, activation, eps):
+    return (_forward_ln(x, ln_scale, ln_bias, w, b, activation, eps),
+            (x, ln_scale, ln_bias, w, b))
+
+
+def _ln_mm_bwd(activation, eps, res, g):
+    x, ln_scale, ln_bias, w, b = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_ln(*a, activation, eps), x, ln_scale, ln_bias,
+        w, b)
+    return vjp(g)
+
+
+ln_matmul_bias_act.defvjp(_ln_mm_fwd, _ln_mm_bwd)
