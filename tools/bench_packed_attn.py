@@ -93,6 +93,55 @@ def _kernel_var(qkv_ref, o_ref, *, hp, gpp, exp2, nomax, batched):
             o_ref[0, :, pl.ds(off, w)] = jnp.concatenate(outs, axis=1)
 
 
+def _kernel_multi_img(qkv_ref, o_ref, *, imgs, bf16p):
+    # `imgs` images per program, all heads: even more independent
+    # matmul->softmax chains in one schedule
+    scale = SCALE * LOG2E
+    for i in range(imgs):
+        for g in range(H // 2):
+            off = pl.multiple_of(g * 128, 128)
+            qs = qkv_ref[i, :, pl.ds(off, 128)]
+            ks = qkv_ref[i, :, pl.ds(D + off, 128)]
+            vs = qkv_ref[i, :, pl.ds(2 * D + off, 128)]
+            outs = []
+            for t in range(2):
+                q = qs[:, t * dh:(t + 1) * dh]
+                k = ks[:, t * dh:(t + 1) * dh]
+                v = vs[:, t * dh:(t + 1) * dh]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                p = jnp.exp2(jnp.minimum(s, 110.0))
+                if bf16p:
+                    p = p.astype(jnp.bfloat16)
+                    l = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+                else:
+                    l = jnp.sum(p, axis=-1, keepdims=True)
+                    p = p.astype(v.dtype)
+                o = jax.lax.dot(p, v,
+                                preferred_element_type=jnp.float32) / l
+                outs.append(o.astype(o_ref.dtype))
+            o_ref[i, :, pl.ds(off, 128)] = jnp.concatenate(outs, axis=1)
+
+
+def build_multi(imgs, bf16p=False):
+    kern = functools.partial(_kernel_multi_img, imgs=imgs, bf16p=bf16p)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B // imgs,),
+            in_specs=[pl.BlockSpec((imgs, N, 3 * D), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((imgs, N, D), lambda b: (b, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
 def build_variant(**kw):
     gpp = kw.pop("gpp", 1)
     hp = 2
@@ -171,16 +220,12 @@ def main():
         # "batched" dot_general over the hp heads dim: Mosaic rejects the
         # (N, 128) -> (N, 2, 64) shape cast ("infer-vector-layout:
         # unsupported shape cast") — not buildable.
-        ("allheads", jax.jit(build_variant(exp2=True, nomax=False,
-                                           batched=False, gpp=6))),
         ("allh+nomax", jax.jit(build_variant(exp2=True, nomax=True,
                                              batched=False, gpp=6))),
-        ("g2+nomax", jax.jit(build_variant(exp2=True, nomax=True,
-                                           batched=False, gpp=2))),
-        ("g3+nomax", jax.jit(build_variant(exp2=True, nomax=True,
-                                           batched=False, gpp=3))),
-        ("allh+nomax+e", jax.jit(build_variant(exp2=False, nomax=True,
-                                               batched=False, gpp=6))),
+        ("img2", jax.jit(build_multi(2))),
+        ("img4", jax.jit(build_multi(4))),
+        ("img2+bf16p", jax.jit(build_multi(2, bf16p=True))),
+        ("img1+bf16p", jax.jit(build_multi(1, bf16p=True))),
     ]
     for name, fn in variants:
         got = np.asarray(jax.jit(fn)(qkv)[:2], np.float32)
