@@ -414,6 +414,53 @@ def test_packed_vit_attention_matches_reference():
     ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(B, N, D)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
+def test_packed_attention_nomax_softmax_boundary():
+    """The max-free softmax is algebraically exact for logits <= 76 and must
+    stay finite (no inf/nan) far beyond the clamp (saturated-one-hot
+    regime). See _NOMAX_CLAMP notes in ops/attention_pallas.py."""
+    from video_rep_learning_tpu.ops.attention_pallas import (
+        _packed_split, packed_vit_attention)
+
+    rng = np.random.RandomState(7)
+    B, N, H, dh = 1, 130, 2, 64
+    D = H * dh
+    base = rng.randn(B, N, 3 * D)
+
+    # logits up to ~60 (well past anything LN'd activations produce, still
+    # below the 76 bound): exact equality with the max-subtracted reference
+    hot = base.copy()
+    hot[:, :, :D] *= 3.0
+    hot[:, :, D:2 * D] *= 4.8
+    qkv = jnp.asarray(hot, jnp.float32)
+    q, k, v = _packed_split(qkv, H)
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k))
+    smax = np.abs(s).max() / np.sqrt(dh)
+    assert 40.0 < smax < 76.0, smax  # the regime this test is about
+    out = packed_vit_attention(qkv, H)
+    ref = _attention_reference(q, k, v, None, 1.0 / np.sqrt(dh))
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(B, N, D)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+    # logits in the hundreds: clamped, but finite and still a convex
+    # combination of value rows
+    extreme = base.copy()
+    extreme[:, :, :D] *= 40.0
+    extreme[:, :, D:2 * D] *= 40.0
+    out2 = np.asarray(packed_vit_attention(
+        jnp.asarray(extreme, jnp.float32), H))
+    assert np.isfinite(out2).all()
+    assert np.abs(out2).max() <= np.abs(extreme[:, :, 2 * D:]).max() + 1e-3
+
+
+def test_packed_vit_attention_backward_matches_reference():
+    from video_rep_learning_tpu.ops.attention_pallas import (
+        _packed_split, packed_vit_attention)
+
+    rng = np.random.RandomState(6)
+    B, N, H, dh = 3, 150, 4, 32
+    D = H * dh
+    qkv = jnp.asarray(rng.randn(B, N, 3 * D), jnp.float32)
+
     # backward (finetuned-ViT-block path): XLA-remat vjp through the split
     def loss_packed(x):
         return jnp.sum(packed_vit_attention(x, H) ** 2)
