@@ -184,10 +184,20 @@ def _ln_rows(x, g, b, eps, dtype):
     return y.astype(dtype)
 
 
-def _kernel_ln(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, *, activation, eps):
-    xn = _ln_rows(x_ref[0].astype(jnp.float32), g_ref[0], be_ref[0], eps,
-                  x_ref.dtype)
-    acc = jax.lax.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
+def _kernel_ln(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, xn_ref, *,
+               activation, eps):
+    # image-outer grid: normalize once per image into VMEM scratch at the
+    # first weight tile; later tiles reuse it. The per-image W-tile re-DMA
+    # (~7 MB) hides under the ~1 ms of matmul; the serial LN VPU time does
+    # not — measured 184 -> 201 T/s over recomputing LN per tile
+    # (tools/bench_ln_matmul.py).
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xn_ref[...] = _ln_rows(x_ref[0].astype(jnp.float32), g_ref[0],
+                               be_ref[0], eps, x_ref.dtype)
+
+    acc = jax.lax.dot(xn_ref[...], w_ref[...],
+                      preferred_element_type=jnp.float32)
     y = acc + b_ref[0].astype(jnp.float32)
     o_ref[0] = _apply_act(y, activation, o_ref.dtype).astype(o_ref.dtype)
 
@@ -202,18 +212,22 @@ def _forward_ln(x, g, be, w, b, activation, eps):
         out_shape=jax.ShapeDtypeStruct((B, N, F), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(nJ, B),  # weight tile outer -> each W tile DMA'd once
+            grid=(B, nJ),  # image outer: LN once per image into scratch
             in_specs=[
-                pl.BlockSpec((1, N, K), lambda j, b: (b, 0, 0)),
-                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
-                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
-                pl.BlockSpec((K, bn), lambda j, b: (0, j)),
-                pl.BlockSpec((1, bn), lambda j, b: (0, j)),
+                pl.BlockSpec((1, N, K), lambda b, j: (b, 0, 0)),
+                pl.BlockSpec((1, K), lambda b, j: (0, 0)),
+                pl.BlockSpec((1, K), lambda b, j: (0, 0)),
+                pl.BlockSpec((K, bn), lambda b, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda b, j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((1, N, bn), lambda j, b: (b, 0, j)),
+            out_specs=pl.BlockSpec((1, N, bn), lambda b, j: (b, 0, j)),
+            scratch_shapes=[pltpu.VMEM((N, K), x.dtype)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the xn scratch pushes ViT-B fc1 to 16.37 MB scoped (> the
+            # 16 MB default); grant headroom like the packed-attention kernel
+            vmem_limit_bytes=26 * 1024 * 1024),
     )(x, g[None], be[None], w.astype(x.dtype), b[None])
 
 
