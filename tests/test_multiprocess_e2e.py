@@ -127,9 +127,17 @@ def _run_pair(script_text, tmp_path, extra_args=()):
         for i in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        # a hung distributed rendezvous must not leak two python processes
+        # on the 1-core host (they'd starve the rest of the suite)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"child {i} failed:\n{out}"
     return outs

@@ -451,6 +451,23 @@ def test_packed_attention_nomax_softmax_boundary():
     assert np.isfinite(out2).all()
     assert np.abs(out2).max() <= np.abs(extreme[:, :, 2 * D:]).max() + 1e-3
 
+    # ALL-underflow rows (every logit << -120): the floor clip must yield
+    # uniform attention (the max-subtracted behavior), never 0/0 = NaN
+    degen = base.copy()
+    # every q.k product <= -(0.5*40)^2 => every logit < -1000, all clipped
+    degen[:, :, :D] = -(np.abs(degen[:, :, :D]) + 0.5) * 40.0
+    degen[:, :, D:2 * D] = (np.abs(degen[:, :, D:2 * D]) + 0.5) * 40.0
+    out3 = np.asarray(packed_vit_attention(
+        jnp.asarray(degen, jnp.float32), H))
+    assert np.isfinite(out3).all()
+    v3 = degen[:, :, 2 * D:].reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+    uniform = v3.mean(axis=2)  # (B, H, dh)
+    got_first = out3.reshape(B, N, H, dh)[:, 0]  # any row; all are uniform
+    # p entries sit at 2^-120: products with small-|v| elements graze the
+    # fp32 subnormal range, costing ~2e-4 — uniformity, not precision, is
+    # the property under test
+    np.testing.assert_allclose(got_first, uniform, atol=1e-3)
+
 
 def test_packed_vit_attention_backward_matches_reference():
     from video_rep_learning_tpu.ops.attention_pallas import (

@@ -1,11 +1,13 @@
 """LN+matmul prologue kernel: grid-order shootout (overhead-calibrated).
 
-The shipped `ln_matmul_bias_act` uses the (nJ, B) weight-tile-outer grid and
-recomputes the LN prologue nJ times per image (~+0.3 ms on fc1 vs the
-pre-LN kernel). Alternative: (B, nJ) image-outer grid with the normalized
-rows cached in VMEM scratch at j==0 — W tiles are re-DMA'd per image
-(~7 MB/image) but that DMA should hide under the ~3 ms of matmul compute,
-while the LN recompute is serial VPU time that cannot hide.
+Compares the original (nJ, B) weight-tile-outer grid ("jouter": LN prologue
+recomputed nJ times per image) against the (B, nJ) image-outer grid with
+the normalized rows cached in VMEM scratch at j==0 ("bouter": W tiles
+re-DMA'd per image, ~7 MB, hidden under matmul compute, while LN recompute
+is serial VPU time that cannot hide). Measured 184 vs 201 T/s at the fc1
+shape — the scratch/image-outer form is what `ln_matmul_bias_act` ships;
+both variants are built explicitly here, plus the shipped op as a sanity
+row.
 """
 
 import functools
@@ -27,6 +29,39 @@ from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
 B, N, K, F = 40, 785, 768, 3072
 ITERS = 20
 FLOPS = 2 * B * N * K * F
+
+
+def _kernel_jouter(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref):
+    xn = _ln_rows(x_ref[0].astype(jnp.float32), g_ref[0], be_ref[0], 1e-6,
+                  x_ref.dtype)
+    acc = jax.lax.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
+    y = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = _gelu_exact(y, fast_tail=o_ref.dtype == jnp.bfloat16).astype(
+        o_ref.dtype)
+
+
+def build_jouter(dtype):
+    bn = _choose_bn(N, K, F, jnp.dtype(dtype).itemsize)
+    nJ = F // bn
+    return pl.pallas_call(
+        _kernel_jouter,
+        out_shape=jax.ShapeDtypeStruct((B, N, F), dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nJ, B),  # weight tile outer: LN recomputed per tile
+            in_specs=[
+                pl.BlockSpec((1, N, K), lambda j, b: (b, 0, 0)),
+                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
+                pl.BlockSpec((1, K), lambda j, b: (0, 0)),
+                pl.BlockSpec((K, bn), lambda j, b: (0, j)),
+                pl.BlockSpec((1, bn), lambda j, b: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, N, bn), lambda j, b: (b, 0, j)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )
 
 
 def _kernel_scratch(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, xn_ref):
@@ -110,17 +145,22 @@ def main():
 
     shipped = lambda x, g, be, w, b: ln_matmul_bias_act(
         x, g, be, w, b, "gelu_exact")
+    jouter_call = build_jouter(dt)
+    jouter = lambda x, g, be, w, b: jouter_call(
+        x, g[None], be[None], w.astype(dt), b[None])
     scratch_call = build_scratch(dt)
     scratch = lambda x, g, be, w, b: scratch_call(
         x, g[None], be[None], w.astype(dt), b[None])
 
-    want = np.asarray(jax.jit(shipped)(x, g, be, w, b)[:1], np.float32)
-    got = np.asarray(jax.jit(scratch)(x, g, be, w, b)[:1], np.float32)
-    err = np.abs(got - want).max()
-    assert err < 1e-2, err
-    print(f"scratch variant correctness OK (max err {err:.2e})")
+    want = np.asarray(jax.jit(jouter)(x, g, be, w, b)[:1], np.float32)
+    for nm, fn in (("scratch", scratch), ("shipped", shipped)):
+        got = np.asarray(jax.jit(fn)(x, g, be, w, b)[:1], np.float32)
+        err = np.abs(got - want).max()
+        assert err < 1e-2, (nm, err)
+        print(f"{nm} variant correctness OK (max err {err:.2e})")
 
-    for name, fn in (("shipped(jouter)", shipped), ("scratch(bouter)", scratch)):
+    for name, fn in (("jouter", jouter), ("scratch(bouter)", scratch),
+                     ("shipped", shipped)):
         t = timed(chained(jax.jit(fn), g, be, w, b), x)
         net = t - overhead
         print(f"{name:16s} {t*1e3:7.3f} ms raw | net {net*1e3:7.3f} ms | "

@@ -6,10 +6,11 @@ Run (CPU or TPU):
 What it measures, and why these are the right gates (VERDICT r2 next #1):
 1. **Embedding drift** — cosine similarity and relative L2 error between the
    fp32/bf16 ViT front-end outputs (tapped features + CLS) and the W8A8
-   dynamically-quantized path, on synthetic image batches, with IMPORTED
-   DINO weights when available (random init otherwise: random weights are
-   the HARD case for quantization — real pretrained weights have smaller
-   outlier ratios).
+   dynamically-quantized path, on synthetic image batches, with RANDOM-INIT
+   weights (no pretrained checkpoints are reachable in this environment;
+   random weights are the HARD case for quantization — real pretrained
+   weights have smaller outlier ratios, so the measured drift is an upper
+   bound).
 2. **Downstream metric drift** — Kendall's tau and phase-classification
    probe accuracy computed from fp vs int8 embeddings of the same synthetic
    'videos' through the ACTUAL evaluation formulas (evaluation/kendalls_tau,

@@ -97,6 +97,31 @@ class ModelSpec:
     quantize_backbone: bool = False
 
 
+def _resolve_quant(m, network: str) -> bool:
+    """W8A8 int8 backbone: implemented for the frozen ViT matmuls only
+    (`models/vit.py`, `ops/quant.py`). Requesting it for a ResNet backbone
+    or a fully-finetuned ViT would otherwise be a silent no-op — warn."""
+    requested = (bool(m.get("QUANTIZE_BACKBONE", False))
+                 or os.environ.get("VRL_INT8_BACKBONE", "0") == "1")
+    if not requested:
+        return False
+    import logging
+
+    if not network.startswith("TIMM-"):
+        logging.getLogger(__name__).warning(
+            "MODEL.QUANTIZE_BACKBONE / VRL_INT8_BACKBONE requested but the "
+            "backbone %s is not a ViT — int8 path only covers the frozen "
+            "ViT matmuls; running unquantized.", network)
+        return False
+    if m.TRAIN_BASE == "train_all":
+        logging.getLogger(__name__).warning(
+            "MODEL.QUANTIZE_BACKBONE requested with TRAIN_BASE=train_all — "
+            "the int8 path is inference-only (frozen backbone); running "
+            "unquantized.")
+        return False
+    return True
+
+
 def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
     """Resolve all derived model quantities from the config, replicating the
     reference factory's channel arithmetic and validation."""
@@ -221,10 +246,7 @@ def resolve_model_spec(cfg: ConfigNode) -> ModelSpec:
         num_contexts=cfg.DATA.NUM_CONTEXTS,
         projection_hidden=m.PROJECTION_SIZE,
         remat=bool(m.get("REMAT", False)),
-        quantize_backbone=(
-            (bool(m.get("QUANTIZE_BACKBONE", False))
-             or os.environ.get("VRL_INT8_BACKBONE", "0") == "1")
-            and m.TRAIN_BASE != "train_all"),
+        quantize_backbone=_resolve_quant(m, network),
         num_static=e.SMART_TOKENS,
         num_dynamic=e.SMART_DYNAMIC_TOKENS,
         pool_channels=pool_channels,

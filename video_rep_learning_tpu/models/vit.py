@@ -294,7 +294,12 @@ class ViTBlock(nn.Module):
                 self.dtype or jnp.float32)
             kfc2, bfc2 = _RawDenseParams(d_ff, self.dim, name="mlp_fc2")()
             return x + int8_dense(y, kfc2, bfc2)
-        if (_jax.default_backend() == "tpu"
+        # Under a tensor/sequence-parallel mesh the activations are sharded:
+        # the Pallas kernels have no partitioning rule, so both fused-MLP
+        # branches must stay on the XLA path (same gate the attention
+        # branches apply)
+        sharded = tensor_context() is not None
+        if (_jax.default_backend() == "tpu" and not sharded
                 and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
                 and _os.environ.get("VRL_FUSED_LN_MM", "auto") != "0"
                 and matmul_gelu_eligible(x.shape[1], self.dim, d_ff,
@@ -308,7 +313,7 @@ class ViTBlock(nn.Module):
             y = ln_matmul_bias_act(
                 x.astype(self.dtype) if self.dtype else x, ln2_s, ln2_b,
                 kfc1, bfc1, "gelu_tanh" if approx else "gelu_exact")
-        elif (_jax.default_backend() == "tpu"
+        elif (_jax.default_backend() == "tpu" and not sharded
               and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
               and matmul_gelu_eligible(x.shape[1], self.dim, d_ff,
                                        itemsize)):

@@ -437,17 +437,22 @@ def packed_vit_eligible(num_heads: int, dh: int, N: int = 0,
     return need <= _PACKED_VMEM_CAP
 
 
-# Max-free softmax bound: exp2(min(s2, _NOMAX_CLAMP)) is EXACT softmax (the
-# row-max shift cancels algebraically) for every row whose max scaled logit
-# s2 = s*log2(e) stays below the clamp — i.e. logits <= 110/log2(e) ~ 76 —
-# because 2^110 * N ~ 3e35 stays finite in fp32 and tiny logits underflow to
-# exactly 0 either way. LN'd ViT activations keep attention logits well
-# under ~30; beyond 76 softmax is a saturated one-hot where the clamp's
-# tie-flattening error is immeasurable. Skipping the row-max pass + subtract
-# removes ~2 of the 5 VPU passes over the (N, N) tile: measured 61 -> 75
-# T/s at the ViT-B/8 shape (tools/bench_packed_attn.py). VRL_ATTN_MAXSUB=1
-# restores the classic max-subtracted softmax.
+# Max-free softmax bound: exp2(clip(s2, -_NOMAX_FLOOR, _NOMAX_CLAMP)) is
+# EXACT softmax (the row-max shift cancels algebraically) for every row
+# whose scaled logits s2 = s*log2(e) land inside the clip — i.e. |logits|
+# <= ~76-83 — because 2^110 * N ~ 3e35 stays finite in fp32 and entries
+# 120+ octaves below their row max contribute < 2^-120/l < fp32 epsilon of
+# the sum either way. LN'd ViT activations keep attention logits well under
+# ~30; beyond the bounds softmax is saturated (one-hot above, uniform-tie
+# below) where the clip's tie-flattening error is immeasurable. The FLOOR
+# also guarantees l >= N * 2^-120 > 0, so a pathological all-very-negative
+# row degrades to uniform attention (the max-subtracted behavior) instead
+# of 0/0 = NaN. Skipping the row-max pass + subtract removes ~2 of the 5
+# VPU passes over the (N, N) tile: measured 61 -> 75 T/s at the ViT-B/8
+# shape (tools/bench_packed_attn.py). VRL_ATTN_MAXSUB=1 restores the
+# classic max-subtracted softmax.
 _NOMAX_CLAMP = 110.0
+_NOMAX_FLOOR = -120.0
 _LOG2E = 1.4426950408889634
 # Scoped-VMEM ceiling granted to the packed kernel (default limit is 16 MB;
 # ViT-B/8 bf16 needs 17.45 MB under the all-heads schedule). Eligibility
@@ -484,7 +489,7 @@ def _packed_kernel(qkv_ref, o_ref, *, hp, groups, dh, D, sm_scale, maxsub):
             if maxsub:
                 p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
             else:
-                p = jnp.exp2(jnp.minimum(s, _NOMAX_CLAMP))
+                p = jnp.exp2(jnp.clip(s, _NOMAX_FLOOR, _NOMAX_CLAMP))
             l = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32) / l

@@ -157,10 +157,11 @@ def matmul_gelu_eligible(N: int, K: int, F: int, itemsize: int) -> bool:
 # consumer matmul kernels read the SAME rows immediately after — so the
 # normalize moves into the matmul's prologue (fp32 row stats over the full
 # K-wide block, bf16 round-trip to stay bit-compatible with the module
-# path's LN-then-Dense order) and the standalone pass disappears. With the
-# (nJ, B) weight-tile-outer grid the stats are recomputed nJ times per image
-# (nJ = 2 at ViT-B shapes) — pure VPU arithmetic on VMEM-resident rows,
-# ~10 us vs the 0.6 ms HBM pass it replaces.
+# path's LN-then-Dense order) and the standalone pass disappears. Grid is
+# (B, nJ) image-outer: the normalized rows are computed ONCE per image into
+# VMEM scratch at j == 0 and reused by later weight tiles (the per-image
+# W-tile re-DMA hides under matmul compute; serial LN VPU time would not —
+# 184 vs 201 T/s, tools/bench_ln_matmul.py).
 # ---------------------------------------------------------------------------
 
 
