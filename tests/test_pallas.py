@@ -226,12 +226,21 @@ def test_fused_photometric_augment_matches_jnp_pipeline():
             lambda k, vid, hw: ssl_augment(k, vid, p, dims=(hw[0], hw[1]))
         ))(keys, v, vdims)
 
-    for seed in range(6):
-        key = jax.random.key(seed)
-        want = np.asarray(unfused(key))
-        got = np.asarray(fused_ssl_batch_augment(key, jnp.asarray(videos),
-                                                 dims, p))
-        np.testing.assert_allclose(got, want, atol=3e-5), seed
+    # mxu_resample=False: XLA crop + photometric-only kernel (exact path).
+    # mxu_resample=True: crop+photometrics in ONE kernel — the RRC rides
+    # the MXU as per-sample resample matrices, uint8 source enters via an
+    # int8 bitcast, and T=2 exercises the multi-frame-per-program unroll.
+    # In interpret mode the in-kernel dots are fp32, so both match the jnp
+    # pipeline to float tolerance.
+    for fused_crop in (False, True):
+        pf = p._replace(mxu_resample=fused_crop)
+        for seed in range(6):
+            key = jax.random.key(seed)
+            want = np.asarray(unfused(key))
+            got = np.asarray(fused_ssl_batch_augment(
+                key, jnp.asarray(videos), dims, pf))
+            np.testing.assert_allclose(got, want, atol=3e-5), (fused_crop,
+                                                               seed)
 
 
 def test_fused_vit_attention_block_matches_reference():

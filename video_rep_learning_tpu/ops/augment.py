@@ -267,6 +267,10 @@ class AugmentParams(NamedTuple):
     blur_prob: float = 0.4
     gray_prob: float = 0.2
     flip_prob: float = 0.5
+    # run the RRC resample on the MXU inside the photometric kernel
+    # (default-precision dots: ~1 uint8-LSB error vs fp32 — enabled when
+    # the consumer backbone runs bf16 anyway, i.e. USE_AMP)
+    mxu_resample: bool = False
 
 
 def _color_jitter(key, video, b, c, s, h):
@@ -404,23 +408,54 @@ def _sample_ssl_scalars(key, p: AugmentParams):
     return k_crop, fscal, order, sigma
 
 
+def _rrc_matrix(n_in: int, n_out: int, length, offset):
+    """(n_out, n_in) bilinear resample matrix A with A @ x ==
+    scale_and_translate(x, ..., scale=n_out/length, trans=-offset*n_out/len)
+    along one axis — built by applying scale_and_translate to the identity,
+    so the weights (incl. edge handling) are exact by construction."""
+    eye = jnp.eye(n_in, dtype=jnp.float32)
+    return jax.image.scale_and_translate(
+        eye, (n_out, n_in), (0,), jnp.stack([n_out / length]),
+        jnp.stack([-offset * n_out / length]), method="linear",
+        antialias=False)
+
+
 def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
-    """TPU path of `make_ssl_batch_augment`: RRC in XLA (channel-planar
-    scale_and_translate), then the whole photometric tail — ordered jitter,
-    blur, grayscale, flip, normalize — in ONE Pallas pass per frame
-    (ops/photometric_pallas.py). The flip moves after the photometrics in
-    the kernel; every op it crosses is flip-equivariant (per-pixel maps,
-    flip-invariant means, even-symmetric blur), so outputs match the jnp
-    path exactly."""
-    from .photometric_pallas import blur_band_matrix, fused_photometric
+    """TPU path of `make_ssl_batch_augment`: the ENTIRE pipeline — RRC,
+    ordered jitter, blur, grayscale, flip, normalize — in ONE Pallas pass
+    per frame (ops/photometric_pallas.py). The bilinear crop+resize rides
+    the MXU as two per-sample resample matrices (exact scale_and_translate
+    weights via `_rrc_matrix`), so the uint8 source is read from HBM once
+    and no fp32 source-resolution frame is ever materialized. The flip
+    moves after the photometrics in the kernel; every op it crosses is
+    flip-equivariant (per-pixel maps, flip-invariant means, even-symmetric
+    blur), so outputs match the jnp path exactly.
+
+    The fused crop's in-kernel resample dots run at MXU default (bf16)
+    precision — up to ~1 uint8 LSB off the fp32 XLA resample — so it is
+    gated on `params.mxu_resample` (set when the backbone is bf16/AMP and
+    the error is below the backbone's own input rounding). VRL_FUSED_CROP=
+    1/0 force-overrides; the fallback is the r2 split path (XLA
+    channel-planar scale_and_translate, then the photometric-only
+    kernel), which is exact vs the jnp pipeline."""
+    import os as _os
+
+    from .photometric_pallas import (blur_band_matrix, fused_crop_photometric,
+                                     fused_photometric)
 
     B, V = videos.shape[0], videos.shape[1]
     BV = B * V
     T = videos.shape[2]
+    H, W = videos.shape[3], videos.shape[4]
     S = params.image_size
     keys = jax.random.split(key, BV).reshape((B, V) + key.shape)
+    env = _os.environ.get("VRL_FUSED_CROP", "auto")
+    fuse_crop = params.mxu_resample if env == "auto" else env != "0"
     if videos.dtype == jnp.uint8:
-        videos = videos.astype(jnp.float32) / 255.0
+        if fuse_crop:  # Mosaic can't cast uint8: bitcast, kernel unwraps
+            videos = jax.lax.bitcast_convert_type(videos, jnp.int8)
+        else:
+            videos = videos.astype(jnp.float32) / 255.0
     if dims is None:
         dims = jnp.tile(jnp.asarray(videos.shape[3:5], jnp.float32), (B, 1))
     vdims = jnp.broadcast_to(dims[:, None, :], (B, V, 2)).reshape(BV, 2)
@@ -435,6 +470,19 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
     boxes, fscal, orders, sigmas = jax.vmap(sample_one)(flat_keys, vdims)
 
     planar = flat.transpose(0, 1, 4, 2, 3)  # (BV, T, 3, H, W)
+    mh = jax.vmap(lambda sg: blur_band_matrix(S, 9, sg).T)(sigmas)
+    mw = jax.vmap(lambda sg: blur_band_matrix(S, 5, sg))(sigmas)
+
+    if fuse_crop:
+        rh = jax.vmap(
+            lambda box: _rrc_matrix(H, S, box[2], box[0]))(boxes)  # (BV,S,H)
+        rw = jax.vmap(
+            lambda box: _rrc_matrix(W, S, box[3], box[1]).T)(boxes)  # (BV,W,S)
+        fenv = _os.environ.get("VRL_CROP_FRAMES")  # sweep override
+        out = fused_crop_photometric(planar, rh, rw, fscal,
+                                     orders.astype(jnp.int32), mh, mw,
+                                     frames=int(fenv) if fenv else None)
+        return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
     def crop_one(v, box):
         top, left, h, w = box[0], box[1], box[2], box[3]
@@ -445,8 +493,6 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
             antialias=False)
 
     cropped = jax.vmap(crop_one)(planar, boxes)
-    mh = jax.vmap(lambda sg: blur_band_matrix(S, 9, sg).T)(sigmas)
-    mw = jax.vmap(lambda sg: blur_band_matrix(S, 5, sg))(sigmas)
     out = fused_photometric(cropped, fscal, orders.astype(jnp.int32), mh, mw)
     return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 

@@ -96,11 +96,10 @@ def _hue(x, f):
     return jnp.stack([r2, g2, b2])
 
 
-def _photometric_kernel(fscal_ref, order_ref, x_ref, mh_ref, mw_ref, o_ref,
-                        *, mean, std):
-    bv = pl.program_id(0)
-    x = x_ref[0, 0].astype(jnp.float32)  # (3, S, S)
-
+def _photometric_tail(x, bv, fscal_ref, order_ref, mh_ref, mw_ref,
+                      *, mean, std):
+    """Shared kernel tail: ordered jitter, blur, grayscale, flip, normalize
+    on a VMEM-resident (3, S, S) fp32 frame; returns the normalized frame."""
     fb = fscal_ref[bv, _F_FB]
     fc = fscal_ref[bv, _F_FC]
     fs = fscal_ref[bv, _F_FS]
@@ -153,9 +152,47 @@ def _photometric_kernel(fscal_ref, order_ref, x_ref, mh_ref, mw_ref, o_ref,
     x = jax.lax.cond(fscal_ref[bv, _F_FLIP] > 0, flip_w, lambda v: v, x)
 
     # python-float constants (array constants can't be captured by kernels)
-    o_ref[0, 0] = jnp.stack(
-        [(x[c] - float(mean[c])) / float(std[c]) for c in range(3)]
+    return jnp.stack(
+        [(x[c] - float(mean[c])) / float(std[c]) for c in range(3)])
+
+
+def _photometric_kernel(fscal_ref, order_ref, x_ref, mh_ref, mw_ref, o_ref,
+                        *, mean, std):
+    bv = pl.program_id(0)
+    x = x_ref[0, 0].astype(jnp.float32)  # (3, S, S)
+    o_ref[0, 0] = _photometric_tail(
+        x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std
     ).astype(o_ref.dtype)
+
+
+def _crop_photometric_kernel(fscal_ref, order_ref, x_ref, rh_ref, rw_ref,
+                             mh_ref, mw_ref, o_ref, *, mean, std, src_int8,
+                             frames):
+    """RRC + the photometric tail in ONE pass: the bilinear crop+resize is
+    two per-sample resample matrices (rh (S, H) @ img (H, W) @ rw (W, S)),
+    built outside as exact `scale_and_translate` weights — so the source
+    frame is read from HBM once (as int8 when the input was uint8: Mosaic
+    can't cast uint8, so the caller bitcasts and the wraparound is undone
+    here) and only the (3, S, S) result is ever materialized. `frames`
+    consecutive frames run per program (static unroll) to amortize the
+    ~8.5 us per-program grid overhead across the T axis."""
+    bv = pl.program_id(0)
+    rh = rh_ref[0]  # (S, H)
+    rw = rw_ref[0]  # (W, S)
+    for f in range(frames):
+        chans = []
+        for c in range(3):
+            xc = x_ref[0, f, c].astype(jnp.float32)  # (H, W)
+            if src_int8:
+                # undo the uint8 -> int8 bitcast, then scale to [0, 1]
+                xc = jnp.where(xc < 0, xc + 256.0, xc) * (1.0 / 255.0)
+            chans.append(jax.lax.dot(
+                jax.lax.dot(rh, xc, preferred_element_type=jnp.float32),
+                rw, preferred_element_type=jnp.float32))
+        x = jnp.stack(chans)  # (3, S, S)
+        o_ref[0, f] = _photometric_tail(
+            x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std
+        ).astype(o_ref.dtype)
 
 
 def blur_band_matrix(size: int, ksize: int, sigma):
@@ -199,3 +236,52 @@ def fused_photometric(videos, fscal, orders, mh, mw,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(fscal, orders, videos, mh, mw)
+
+
+def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
+                           mean=IMAGENET_MEAN, std=IMAGENET_STD, frames=None):
+    """Crop-resize + photometric tail in one Pallas pass per frame.
+
+    videos (BV, T, 3, H, W): int8 (bitcast of uint8 pixels — Mosaic has no
+    uint8 cast; the kernel undoes the wraparound and the /255) or float32 in
+    [0, 1]. rh (BV, S, H) / rw (BV, W, S): per-sample bilinear resample
+    matrices (exact `scale_and_translate` weights — build via
+    `augment._rrc_matrix`). Other args as `fused_photometric`.
+    `frames` = frames per grid program (default: largest of 4/2/1 dividing
+    T — amortizes per-program overhead on long clips).
+    Returns normalized (BV, T, 3, S, S) float32.
+
+    vs the split path (XLA scale_and_translate then `fused_photometric`)
+    this never materializes the fp32 source frame or the cropped
+    intermediate in HBM: one 1-byte read + one (3, S, S) write per frame,
+    with the resample running on the MXU. NOTE the in-kernel resample dots
+    run at MXU default (bf16-input) precision: outputs differ from the XLA
+    fp32 `scale_and_translate` path by up to ~1 uint8 LSB post-normalize —
+    callers gate on that (see `augment.fused_ssl_batch_augment`).
+    """
+    BV, T, C, H, W = videos.shape
+    S = rh.shape[1]
+    if frames is None:
+        frames = next(f for f in (4, 2, 1) if T % f == 0)
+    assert T % frames == 0
+    return pl.pallas_call(
+        functools.partial(_crop_photometric_kernel, mean=mean, std=std,
+                          src_int8=videos.dtype == jnp.int8, frames=frames),
+        out_shape=jax.ShapeDtypeStruct((BV, T, C, S, S), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BV, T // frames),
+            in_specs=[
+                pl.BlockSpec((1, frames, C, H, W),
+                             lambda b, t, *_: (b, t, 0, 0, 0)),
+                pl.BlockSpec((1, S, H), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec((1, W, S), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec((1, S, S), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec((1, S, S), lambda b, t, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, frames, C, S, S),
+                                   lambda b, t, *_: (b, t, 0, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(fscal, orders, videos, rh, rw, mh, mw)

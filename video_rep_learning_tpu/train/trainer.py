@@ -87,7 +87,8 @@ class Trainer:
             self.val_loader = self.val_emb_loader = None
 
         aug = AugmentParams(image_size=cfg.IMAGE_SIZE,
-                            strength=cfg.AUGMENTATION.STRENGTH)
+                            strength=cfg.AUGMENTATION.STRENGTH,
+                            mxu_resample=bool(cfg.USE_AMP))
         self._ssl_augment = make_ssl_batch_augment(aug)
         self.state: Optional[Dict] = None
         self.start_epoch = 0
