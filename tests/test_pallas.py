@@ -243,6 +243,37 @@ def test_fused_photometric_augment_matches_jnp_pipeline():
                                                                seed)
 
 
+def test_fused_crop_padded_canvas_and_odd_t():
+    """Fused-crop path on a PADDED canvas (true dims < array dims, as the
+    collate produces) and odd T (frames-per-program auto-pick falls to 1):
+    must match the jnp pipeline, which crops against the true extent."""
+    from video_rep_learning_tpu.ops.augment import (AugmentParams,
+                                                    fused_ssl_batch_augment,
+                                                    ssl_augment)
+
+    p = AugmentParams(image_size=32, mxu_resample=True)
+    rng = np.random.RandomState(3)
+    videos = rng.randint(0, 255, size=(2, 2, 3, 48, 44, 3)).astype(np.uint8)
+    videos[:, :, :, 40:, :, :] = 0  # padding region
+    videos[:, :, :, :, 36:, :] = 0
+    dims = jnp.asarray([[40.0, 36.0], [48.0, 44.0]])
+
+    def unfused(key):
+        keys = jax.random.split(key, 4).reshape((2, 2) + key.shape)
+        v = jnp.asarray(videos).astype(jnp.float32) / 255.0
+        vdims = jnp.broadcast_to(dims[:, None, :], (2, 2, 2))
+        return jax.vmap(jax.vmap(
+            lambda k, vid, hw: ssl_augment(k, vid, p, dims=(hw[0], hw[1]))
+        ))(keys, v, vdims)
+
+    for seed in range(3):
+        key = jax.random.key(seed)
+        want = np.asarray(unfused(key))
+        got = np.asarray(fused_ssl_batch_augment(key, jnp.asarray(videos),
+                                                 dims, p))
+        np.testing.assert_allclose(got, want, atol=3e-5), seed
+
+
 def test_fused_vit_attention_block_matches_reference():
     """The fused LN+qkv+attention+proj half-block kernel == its XLA
     composition, forward and backward."""
