@@ -18,6 +18,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_parallel_contexts():
+    """Trainer construction publishes global mesh contexts (tensor + data);
+    reset them per test so kernel-dispatch state never leaks across tests."""
+    yield
+    from video_rep_learning_tpu.parallel.sharding import (set_data_context,
+                                                          set_tensor_context)
+
+    set_data_context(None)
+    set_tensor_context(None, None)
+
 # The environment's relay-backed TPU plugin registers background threads that
 # can crash the interpreter during shutdown AFTER all tests have passed,
 # corrupting the exit code. Report the true pytest status and skip the

@@ -352,6 +352,14 @@ def _stream_forward(q, k, v, kv_mask, sm_scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention_vjp(q, k, v, kv_mask=None, sm_scale=1.0, block_q=1024,
+                         block_k=1024):
+    if _fused_fits(k.shape[2], q.shape[3], q.dtype.itemsize):
+        out, _ = _fused_forward(q, k, v, kv_mask, sm_scale)
+        return out
+    return _stream_forward(q, k, v, kv_mask, sm_scale, block_q, block_k)
+
+
 def flash_attention(q, k, v, kv_mask=None, sm_scale=1.0, block_q=1024,
                     block_k=1024):
     """softmax(q k^T * sm_scale) v with optional per-key mask.
@@ -359,12 +367,20 @@ def flash_attention(q, k, v, kv_mask=None, sm_scale=1.0, block_q=1024,
     q, k, v: (B, H, S, d); kv_mask: (B, Sk) nonzero = attend. Dispatches to
     the fused VMEM-resident kernel (with a fully fused Pallas backward) for
     every realistic Sk; the streaming online-softmax kernel (XLA-remat
-    backward) is the valve beyond VMEM capacity.
+    backward) is the valve beyond VMEM capacity. Runs per batch shard under
+    a multi-device pure-DP mesh (see `parallel.sharding.dp_kernel_call`).
     """
-    if _fused_fits(k.shape[2], q.shape[3], q.dtype.itemsize):
-        out, _ = _fused_forward(q, k, v, kv_mask, sm_scale)
-        return out
-    return _stream_forward(q, k, v, kv_mask, sm_scale, block_q, block_k)
+    from ..parallel.sharding import dp_kernel_call
+
+    if kv_mask is None:
+        return dp_kernel_call(
+            lambda a, b, c: _flash_attention_vjp(a, b, c, None, sm_scale,
+                                                 block_q, block_k),
+            (q, k, v))
+    return dp_kernel_call(
+        lambda a, b, c, m: _flash_attention_vjp(a, b, c, m, sm_scale,
+                                                block_q, block_k),
+        (q, k, v, kv_mask))
 
 
 def _fwd(q, k, v, kv_mask, sm_scale, block_q, block_k):
@@ -386,7 +402,7 @@ def _bwd(sm_scale, block_q, block_k, res, g):
     return dq, dk, dv, None
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention_vjp.defvjp(_fwd, _bwd)
 
 
 def mha_with_flash(q, k, v, kv_mask=None):
@@ -492,8 +508,10 @@ def _packed_kernel(qkv_ref, o_ref, *, hp, groups, dh, D, sm_scale, maxsub):
                 p = jnp.exp2(jnp.clip(s, _NOMAX_FLOOR, _NOMAX_CLAMP))
             l = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot(p.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32) / l
-            outs.append(o.astype(o_ref.dtype))
+                            preferred_element_type=jnp.float32)
+            # divide only the (N, 1) row sums; broadcast-multiply the
+            # (N, dh) tile (VPU divide is multi-pass, multiply is one)
+            outs.append((o * (1.0 / l)).astype(o_ref.dtype))
         o_ref[0, :, pl.ds(off, w)] = (
             outs[0] if hp == 1 else jnp.concatenate(outs, axis=1))
 
@@ -532,11 +550,19 @@ def _packed_split(qkv, num_heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _packed_vit_attention_vjp(qkv, num_heads):
+    return _packed_forward(qkv, num_heads)
+
+
 def packed_vit_attention(qkv, num_heads):
     """Multi-head self-attention straight from the packed (B, N, 3D) qkv
     projection output, returning (B, N, D) — zero layout copies on the
-    frozen-backbone hot path."""
-    return _packed_forward(qkv, num_heads)
+    frozen-backbone hot path. Runs per batch shard under a multi-device
+    pure-DP mesh (see `parallel.sharding.dp_kernel_call`)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda a: _packed_vit_attention_vjp(a, num_heads), (qkv,))
 
 
 def _packed_fwd(qkv, num_heads):
@@ -559,4 +585,4 @@ def _packed_bwd(num_heads, qkv, g):
     return (jnp.concatenate([unheads(dq), unheads(dk), unheads(dv)], axis=-1),)
 
 
-packed_vit_attention.defvjp(_packed_fwd, _packed_bwd)
+_packed_vit_attention_vjp.defvjp(_packed_fwd, _packed_bwd)

@@ -64,16 +64,14 @@ def _ln_forward(x, scale, bias, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_layernorm(x, scale, bias, eps=1e-6):
-    """LayerNorm over the last dim of (B, N, D). fp32 statistics, one HBM
-    pass. Falls back to plain XLA math off-TPU or for lane-unfriendly D."""
+def _fused_layernorm_vjp(x, scale, bias, eps=1e-6):
     if jax.default_backend() == "tpu" and x.ndim == 3 and x.shape[-1] % _LANES == 0:
         return _ln_forward(x, scale, bias, eps)
     return _ln_reference(x, scale, bias, eps)
 
 
 def _fused_ln_fwd(x, scale, bias, eps):
-    return fused_layernorm(x, scale, bias, eps), (x, scale, bias)
+    return _fused_layernorm_vjp(x, scale, bias, eps), (x, scale, bias)
 
 
 def _fused_ln_bwd(eps, res, g):
@@ -83,4 +81,17 @@ def _fused_ln_bwd(eps, res, g):
     return vjp(g)
 
 
-fused_layernorm.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+_fused_layernorm_vjp.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def fused_layernorm(x, scale, bias, eps=1e-6):
+    """LayerNorm over the last dim of (B, N, D). fp32 statistics, one HBM
+    pass. Falls back to plain XLA math off-TPU or for lane-unfriendly D.
+    Under a multi-device pure-DP mesh the kernel runs per batch shard via
+    `parallel.sharding.dp_kernel_call` (GSPMD would otherwise replicate the
+    Mosaic custom call)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda a, s, b: _fused_layernorm_vjp(a, s, b, eps),
+        (x,), (scale, bias))

@@ -124,11 +124,21 @@ def _reference(x, w, b, approximate):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _matmul_bias_gelu_vjp(x, w, b, approximate=False):
+    return _forward(x, w, b, approximate)
+
+
 def matmul_bias_gelu(x, w, b, approximate=False):
     """gelu(x @ w + b) with the activation fused into the matmul epilogue.
     x (B, N, K); w (K, F); b (F,). Exact (erf) GELU — the timm reference
-    default — runs through the A&S polynomial erf (1.5e-7 abs) in-kernel."""
-    return _forward(x, w, b, approximate)
+    default — runs through the A&S polynomial erf (1.5e-7 abs) in-kernel.
+    Runs per batch shard under a multi-device pure-DP mesh (see
+    `parallel.sharding.dp_kernel_call`)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda a, kw, kb: _matmul_bias_gelu_vjp(a, kw, kb, approximate),
+        (x,), (w, b))
 
 
 def _fwd(x, w, b, approximate):
@@ -141,7 +151,7 @@ def _bwd(approximate, res, g):
     return vjp(g)
 
 
-matmul_bias_gelu.defvjp(_fwd, _bwd)
+_matmul_bias_gelu_vjp.defvjp(_fwd, _bwd)
 
 
 def matmul_gelu_eligible(N: int, K: int, F: int, itemsize: int) -> bool:
@@ -243,13 +253,25 @@ def _reference_ln(x, g, be, w, b, activation, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _ln_matmul_bias_act_vjp(x, ln_scale, ln_bias, w, b, activation="none",
+                            eps=1e-6):
+    return _forward_ln(x, ln_scale, ln_bias, w, b, activation, eps)
+
+
 def ln_matmul_bias_act(x, ln_scale, ln_bias, w, b, activation="none",
                        eps=1e-6):
     """act(LayerNorm(x) @ w + b) with the LN folded into the matmul prologue.
     x (B, N, K); w (K, F). activation in {"none", "gelu_exact",
     "gelu_tanh"}. Serves LN1+qkv (none) and LN2+fc1 (gelu) on the frozen
-    ViT hot path (`transformer.py:43-54` backbone block semantics)."""
-    return _forward_ln(x, ln_scale, ln_bias, w, b, activation, eps)
+    ViT hot path (`transformer.py:43-54` backbone block semantics). Runs per
+    batch shard under a multi-device pure-DP mesh (see
+    `parallel.sharding.dp_kernel_call`)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda a, ls, lb, kw, kb: _ln_matmul_bias_act_vjp(
+            a, ls, lb, kw, kb, activation, eps),
+        (x,), (ln_scale, ln_bias, w, b))
 
 
 def _ln_mm_fwd(x, ln_scale, ln_bias, w, b, activation, eps):
@@ -265,4 +287,4 @@ def _ln_mm_bwd(activation, eps, res, g):
     return vjp(g)
 
 
-ln_matmul_bias_act.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+_ln_matmul_bias_act_vjp.defvjp(_ln_mm_fwd, _ln_mm_bwd)

@@ -217,7 +217,17 @@ def fused_photometric(videos, fscal, orders, mh, mw,
                       mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """videos (BV, T, 3, S, S) fp32 in [0,1]; fscal (BV, 8) fp32 flags and
     factors; orders (BV, 4) int32; mh/mw (BV, S, S) fp32 blur band matrices.
-    Returns normalized (BV, T, 3, S, S) fp32."""
+    Returns normalized (BV, T, 3, S, S) fp32. Runs per batch shard under a
+    multi-device pure-DP mesh (see `parallel.sharding.dp_kernel_call`)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda v, f, o, h, w: _fused_photometric_impl(v, f, o, h, w,
+                                                      mean, std),
+        (videos, fscal, orders, mh, mw))
+
+
+def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std):
     BV, T, C, S, _ = videos.shape
     return pl.pallas_call(
         functools.partial(_photometric_kernel, mean=mean, std=std),
@@ -240,7 +250,9 @@ def fused_photometric(videos, fscal, orders, mh, mw,
 
 def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
                            mean=IMAGENET_MEAN, std=IMAGENET_STD, frames=None):
-    """Crop-resize + photometric tail in one Pallas pass per frame.
+    """Crop-resize + photometric tail in one Pallas pass per frame. Runs per
+    batch shard under a multi-device pure-DP mesh (see
+    `parallel.sharding.dp_kernel_call`).
 
     videos (BV, T, 3, H, W): int8 (bitcast of uint8 pixels — Mosaic has no
     uint8 cast; the kernel undoes the wraparound and the /255) or float32 in
@@ -259,6 +271,16 @@ def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
     fp32 `scale_and_translate` path by up to ~1 uint8 LSB post-normalize —
     callers gate on that (see `augment.fused_ssl_batch_augment`).
     """
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda v, a, b, f, o, h, w: _fused_crop_photometric_impl(
+            v, a, b, f, o, h, w, mean, std, frames),
+        (videos, rh, rw, fscal, orders, mh, mw))
+
+
+def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
+                                 mean, std, frames):
     BV, T, C, H, W = videos.shape
     S = rh.shape[1]
     if frames is None:

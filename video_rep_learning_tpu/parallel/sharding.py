@@ -93,3 +93,63 @@ def shard_batch_dim(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P("data")))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel kernel dispatch
+# ---------------------------------------------------------------------------
+#
+# Pallas kernels lower to Mosaic custom calls, which GSPMD cannot partition:
+# under a multi-device pjit a bare pallas_call gets a REPLICATED sharding —
+# XLA all-gathers the batch-sharded operands, every chip computes the full
+# global batch, then slices its shard back out. Correct, but it forfeits DP
+# scaling exactly on the hot ops. The standard fix (maxtext-style) is to run
+# each kernel inside `jax.shard_map` over the data axis so every chip runs
+# the kernel on its own batch shard and no collective is emitted.
+#
+# The trainer publishes its mesh via `set_data_context` when it is a pure-DP
+# multi-device mesh (TP/SP meshes never reach the kernels — the model gates
+# them off); every ops entry point routes through `dp_kernel_call`, which is
+# a transparent passthrough on a single chip or when a leading dim doesn't
+# divide the axis. shard_map differentiates through the wrapped custom_vjp
+# kernels, psum-ing replicated-operand (weight) cotangents automatically.
+
+_DP = {"mesh": None}
+
+
+def set_data_context(mesh: Optional[Mesh]) -> None:
+    """Publish the active pure-data-parallel mesh (or None). Only meshes
+    with a >1-device 'data' axis and no active tensor context engage the
+    per-shard kernel dispatch."""
+    ok = (mesh is not None and "data" in mesh.shape
+          and mesh.shape["data"] > 1)
+    _DP["mesh"] = mesh if ok else None
+
+
+def data_context():
+    """The active multi-device pure-DP mesh, or None."""
+    if tensor_context() is not None:
+        return None  # TP/SP path: kernels are gated off at the call sites
+    return _DP["mesh"]
+
+
+def dp_kernel_call(fn, sharded, replicated=()):
+    """Run `fn(*sharded, *replicated) -> array` per data-shard.
+
+    `sharded` arrays are split on their leading dim over the 'data' axis of
+    the active DP mesh; `replicated` arrays are broadcast. Static python
+    values must be closed over in `fn`. Falls back to a direct call when no
+    multi-device data mesh is active or any sharded leading dim doesn't
+    divide the axis (e.g. the batch-1 eval path)."""
+    mesh = data_context()
+    if mesh is not None:
+        n = mesh.shape["data"]
+        if all(a.shape[0] % n == 0 and a.shape[0] > 0 for a in sharded):
+            specs = (P("data"),) * len(sharded) + (P(),) * len(replicated)
+            # check_vma=False: pallas_call carries no vma metadata. The
+            # replicated-arg (weight) grad psum is inserted by shard_map's
+            # transpose regardless — tests/test_dp_kernels.py asserts it.
+            return jax.shard_map(fn, mesh=mesh, in_specs=specs,
+                                 out_specs=P("data"),
+                                 check_vma=False)(*sharded, *replicated)
+    return fn(*sharded, *replicated)

@@ -69,6 +69,11 @@ class Trainer:
             set_tensor_context(self.mesh, "model", mode)
         else:
             self.mesh = create_mesh()
+        # Publish the mesh for per-shard Pallas kernel dispatch (no-op on a
+        # single device or under TP/SP, where the kernels are gated off).
+        from ..parallel.sharding import set_data_context
+
+        set_data_context(self.mesh)
         self.model = build_model(cfg)
         self.algo = get_algo(cfg)
         self.tx = make_optimizer(cfg)
