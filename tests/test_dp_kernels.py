@@ -173,6 +173,55 @@ def test_dp_fused_photometric_matches(dp_mesh):
     assert got.sharding.spec[0] == "data"
 
 
+def test_dp_scl_negatives_are_rank_local(dp_mesh):
+    """Multi-device SCL must match the reference's DDP semantics: each rank
+    computes the loss over its LOCAL batch (negatives never cross ranks —
+    the reference algos/scl.py has no dist collectives) and ranks combine
+    by averaging. With batch_noself + non-uniform masks the rank-local mean
+    provably differs from the global-batch loss, so this pins the choice."""
+    import os
+
+    from video_rep_learning_tpu.algos.scl import (scl_loss_dispatch,
+                                                  scl_sequence_loss)
+
+    rng = np.random.RandomState(7)
+    B, V, T, C = 8, 2, 4, 16
+    e = rng.randn(B, V, T, C).astype(np.float32)
+    e /= np.linalg.norm(e, axis=-1, keepdims=True)
+    seq_lens = np.full((B, V), 3 * T, np.int32)
+    steps = np.tile(np.arange(T, dtype=np.int32) * 3, (B, V, 1))
+    masks = (rng.rand(B, V, T) > 0.3).astype(np.float32)
+    masks[..., 0] = 1.0  # keep every item non-degenerate
+    kw = dict(temperature=0.1, label_varience=10.0, positive_type="gauss",
+              negative_type="batch_noself")
+
+    sharded = [jax.device_put(jnp.asarray(a),
+                              NamedSharding(dp_mesh, P("data")))
+               for a in (e, seq_lens, steps, masks)]
+    got = float(jax.jit(lambda *a: scl_loss_dispatch(*a, **kw))(*sharded))
+
+    per_rank = [float(scl_sequence_loss(
+        jnp.asarray(e[i:i + 1]), jnp.asarray(seq_lens[i:i + 1]),
+        jnp.asarray(steps[i:i + 1]), jnp.asarray(masks[i:i + 1]),
+        **kw)["loss"]) for i in range(B)]
+    want = float(np.mean(per_rank))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    glob = float(scl_sequence_loss(*[jnp.asarray(a) for a in
+                                     (e, seq_lens, steps, masks)],
+                                   **kw)["loss"])
+    assert abs(glob - want) > 1e-4  # the semantics choice is observable
+
+    # VRL_GLOBAL_SCL=1: beyond-reference global-batch negatives
+    os.environ["VRL_GLOBAL_SCL"] = "1"
+    try:
+        got_g = float(jax.jit(
+            lambda *a: scl_loss_dispatch(*a, **kw))(*sharded))
+    finally:
+        del os.environ["VRL_GLOBAL_SCL"]
+    np.testing.assert_allclose(got_g, glob, rtol=1e-5)
+
+
 def test_dp_fallback_on_non_divisible_batch(dp_mesh):
     """Leading dim 3 doesn't divide 8 devices: must silently run the direct
     (unsharded) call — the eval chunk path depends on this."""

@@ -89,6 +89,61 @@ def scl_sequence_loss(embs, seq_lens, steps, masks, *, temperature: float,
     return {"loss": loss}
 
 
+def scl_loss_dispatch(embs, seq_lens, steps, masks, *, temperature,
+                      label_varience, positive_type, negative_type):
+    """SCL loss with kernel + parallelism dispatch.
+
+    Multi-device DP: the reference's DDP computes SCL per rank over the
+    LOCAL batch (negatives never cross ranks — the reference `algos/scl.py`
+    has no dist collectives) and combines ranks by gradient averaging.
+    Match that exactly: per-shard loss in `jax.shard_map` over the 'data'
+    axis + pmean. This is also the efficient layout — a global (N, N)
+    similarity would both change semantics (cross-rank negatives for
+    batch_noself) and replicate O(N_global^2) work on every chip (GSPMD
+    cannot partition the fused kernel's custom call). VRL_GLOBAL_SCL=1
+    opts into global-batch negatives as a beyond-reference variant.
+
+    Per shard (or single device), the Pallas fused kernel takes over at
+    N >= 8192 — measured (r2, v5e) speed parity with XLA below that, but
+    XLA materializes several (N, N) fp32 buffers (~6 GB at N=16K) that the
+    kernel never allocates."""
+    import os
+
+    from ..parallel.sharding import data_context
+
+    B = embs.shape[0]
+
+    def shard_loss(e, sl, st, mk):
+        n = e.shape[0] * e.shape[1] * e.shape[2]
+        flag = os.environ.get("VRL_FUSED_SCL", "auto")  # 0 | 1 | auto
+        use_fused = (positive_type == "gauss"
+                     and jax.default_backend() == "tpu"
+                     and flag != "0"
+                     and (flag == "1" or n >= 8192))
+        if use_fused:
+            from ..ops.scl_pallas import scl_loss_fused
+
+            return scl_loss_fused(e, sl, st, mk, temperature,
+                                  label_varience, negative_type)
+        return scl_sequence_loss(
+            e, sl, st, mk, temperature=temperature,
+            label_varience=label_varience, positive_type=positive_type,
+            negative_type=negative_type)["loss"]
+
+    mesh = data_context()
+    if (mesh is not None and B % mesh.shape["data"] == 0
+            and os.environ.get("VRL_GLOBAL_SCL", "0") != "1"):
+        from jax.sharding import PartitionSpec as P
+
+        def ranked(e, sl, st, mk):
+            return jax.lax.pmean(shard_loss(e, sl, st, mk), "data")
+
+        return jax.shard_map(
+            ranked, mesh=mesh, in_specs=(P("data"),) * 4,
+            out_specs=P(), check_vma=False)(embs, seq_lens, steps, masks)
+    return shard_loss(embs, seq_lens, steps, masks)
+
+
 class SCL:
     """Algo driver (`algos/scl.py:18-50`): reshapes the two-view batch, runs
     the model with the projection head, and applies the sequence loss."""
@@ -120,30 +175,9 @@ class SCL:
         steps = batch["chosen_steps"].reshape(B, V, num_frames)
         masks = batch["video_masks"].reshape(B, V, num_frames)
 
-        import os
-
-        N = B * V * num_frames
-        flag = os.environ.get("VRL_FUSED_SCL", "auto")  # 0 | 1 | auto
-        # measured (r2, v5e): fused == XLA speed through N=4096; the fused
-        # kernel's value is MEMORY — XLA materializes several (N, N) fp32
-        # buffers (~6 GB at N=16K), the kernel none — so auto-dispatch at
-        # the size where those buffers start to matter
-        use_fused = (self.positive_type == "gauss"
-                     and jax.default_backend() == "tpu"
-                     and flag != "0"
-                     and (flag == "1" or N >= 8192))
-        if use_fused:
-            # Pallas fused kernel: no (N, N) HBM buffers (ops/scl_pallas.py)
-            from ..ops.scl_pallas import scl_loss_fused
-
-            loss = {"loss": scl_loss_fused(
-                embs, seq_lens, steps, masks, self.temperature,
-                self.label_varience, self.negative_type)}
-        else:
-            loss = scl_sequence_loss(
-                embs, seq_lens, steps, masks,
-                temperature=self.temperature,
-                label_varience=self.label_varience,
-                positive_type=self.positive_type,
-                negative_type=self.negative_type)
-        return loss, updates
+        loss_val = scl_loss_dispatch(
+            embs, seq_lens, steps, masks, temperature=self.temperature,
+            label_varience=self.label_varience,
+            positive_type=self.positive_type,
+            negative_type=self.negative_type)
+        return {"loss": loss_val}, updates
