@@ -177,3 +177,45 @@ def test_bucketed_chunk_embeddings_match_exact(synth_dir, tmp_path):
     exact = np.asarray(exact[0])
     valid = np.asarray(item["labels"]) >= 0
     np.testing.assert_allclose(bucketed, exact[valid], atol=2e-5)
+
+
+def test_context_path_embeddings_conv_embedder(synth_dir, tmp_path):
+    """NUM_CONTEXTS=2 eval extraction (conv embedder): the model must get
+    num_frames = chunk steps WITHOUT the context expansion (reference
+    evaluate.py:60 passes num_steps), yielding one embedding per step."""
+    from tests.test_train import micro_cfg
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.evaluation.embedding import \
+        get_embeddings_dataset
+    from video_rep_learning_tpu.train import Trainer
+
+    logdir = str(tmp_path / "logs_ctx")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.SSL = False
+    cfg.MODEL.PROJECTION = False
+    cfg.MODEL.L2_NORMALIZE = False
+    cfg.TRAINING_ALGO = "tcc"
+    cfg.MODEL.EMBEDDER_TYPE = "conv"
+    cfg.MODEL.EMBEDDER_MODEL.CONV_LAYERS = [[8, 1, 0]]
+    cfg.MODEL.TRAIN_BASE = "train_all"
+    cfg.DATA.NUM_CONTEXTS = 2
+    cfg.DATA.CONTEXT_STRIDE = 1
+    cfg.DATA.SAMPLING_STRATEGY = "offset_uniform"
+    cfg.EVAL.FRAMES_PER_BATCH = 6  # force several chunks per video
+
+    tr = Trainer(cfg, no_eval=True)
+    tr.init_state()
+
+    ds = Pouring(cfg, "val", mode="eval", sample_all=True)
+    item = ds.get_eval_item(0)
+
+    class OneItem:
+        def __iter__(self):
+            return iter([item])
+
+    out = get_embeddings_dataset(cfg, tr.model, tr.variables, OneItem())
+    embs = out["embs"][0]
+    n_valid = int((np.asarray(item["labels"]) >= 0).sum())
+    assert embs.shape == (n_valid, cfg.MODEL.EMBEDDER_MODEL.EMBEDDING_SIZE)
+    assert np.isfinite(embs).all()

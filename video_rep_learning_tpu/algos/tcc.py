@@ -122,12 +122,36 @@ class TCC:
                           backbone_warmup_active=backbone_warmup_active,
                           mutable=["batch_stats"] if train else False)
         embs, updates = out if train else (out, {})
-        loss = tcc_loss(
-            embs, seq_lens, steps,
+        kw = dict(
             loss_type=cfg.TCC.LOSS_TYPE, similarity_type=cfg.TCC.SIMILARITY_TYPE,
             temperature=cfg.TCC.SOFTMAX_TEMPERATURE,
             label_smoothing=cfg.TCC.LABEL_SMOOTHING,
             variance_lambda=cfg.TCC.VARIANCE_LAMBDA,
             huber_delta=cfg.TCC.HUBER_DELTA,
             normalize_indices=cfg.TCC.NORMALIZE_INDICES)
+
+        # Multi-device DP: the reference's DDP builds its pair list over the
+        # LOCAL batch (`tcc.py:50-59` — no dist collectives), so alignment
+        # pairs never cross ranks. Match it: per-shard pairs in shard_map +
+        # pmean. A global-view pair list would add cross-rank pairs the
+        # reference never evaluates AND grow the pair count O(ranks^2).
+        # Requires >= 2 sequences per shard (the reference needs the same
+        # per rank); falls back to the global pair list otherwise.
+        from ..parallel.sharding import data_context
+
+        mesh = data_context()
+        Bp = embs.shape[0]
+        if (mesh is not None and Bp % mesh.shape["data"] == 0
+                and Bp // mesh.shape["data"] >= 2):
+            from jax.sharding import PartitionSpec as P
+
+            def ranked(e, sl, st):
+                return jax.lax.pmean(tcc_loss(e, sl, st, **kw)["loss"],
+                                     "data")
+
+            loss = {"loss": jax.shard_map(
+                ranked, mesh=mesh, in_specs=(P("data"),) * 3,
+                out_specs=P(), check_vma=False)(embs, seq_lens, steps)}
+        else:
+            loss = tcc_loss(embs, seq_lens, steps, **kw)
         return loss, updates

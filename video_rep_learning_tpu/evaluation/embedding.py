@@ -45,12 +45,19 @@ def make_embed_fn(model, cfg):
 
     image_size = cfg.IMAGE_SIZE
 
+    num_contexts = max(int(cfg.DATA.NUM_CONTEXTS), 1)
+
     @jax.jit
     def embed_chunk(variables, frames, dims, mask, true_len):
         video = frames[0].astype(jnp.float32) / 255.0
         video = eval_augment(video, image_size, dims=(dims[0], dims[1]))
-        embs = model.apply(variables, video[None], None, video_masks=mask,
-                           project=False, train=False, true_seq_len=true_len)
+        # reference `evaluate.py:60` passes num_steps (chunk frames WITHOUT
+        # the context expansion) as num_frames — the conv embedder derives
+        # its (steps, contexts) split from it
+        num_frames = video.shape[0] // num_contexts
+        embs = model.apply(variables, video[None], num_frames,
+                           video_masks=mask, project=False, train=False,
+                           true_seq_len=true_len)
         return embs
 
     return embed_chunk
