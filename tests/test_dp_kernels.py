@@ -222,6 +222,62 @@ def test_dp_scl_negatives_are_rank_local(dp_mesh):
     np.testing.assert_allclose(got_g, glob, rtol=1e-5)
 
 
+def test_dp_tcc_pairs_are_rank_local(dp_mesh):
+    """TCC under multi-device DP must build its alignment-pair list per
+    rank (reference tcc.py:50-59 loops over the LOCAL batch only)."""
+    from video_rep_learning_tpu.algos.tcc import TCC, tcc_loss
+    from video_rep_learning_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.SSL = False
+    cfg.TRAIN.NUM_FRAMES = 4
+
+    class _Stub:
+        def apply(self, variables, videos, num_frames, video_masks=None,
+                  train=True, rngs=None, backbone_warmup_active=False,
+                  mutable=False):
+            B = videos.shape[0]
+            x = videos.reshape(B, num_frames, -1).astype(jnp.float32)
+            e = jnp.tanh(x[..., :8] * 0.02)
+            return (e, {}) if mutable else e
+
+    rng = np.random.RandomState(11)
+    B, T = 16, 4
+    batch = {
+        "videos": jnp.asarray(rng.randn(B, T, 2, 2, 3), jnp.float32),
+        "chosen_steps": jnp.asarray(
+            np.tile(np.arange(T, dtype=np.int32) * 2, (B, 1))),
+        "seq_lens": jnp.asarray(np.full((B,), 2 * T, np.int32)),
+        "video_masks": jnp.ones((B, T), jnp.float32),
+    }
+    sharded_batch = {k: jax.device_put(v, NamedSharding(dp_mesh, P("data")))
+                     for k, v in batch.items()}
+
+    algo = TCC(cfg)
+    loss, _ = jax.jit(
+        lambda b: algo.compute_loss(_Stub(), {}, b, train=True))(
+            sharded_batch)
+    got = float(loss["loss"])
+
+    kw = dict(loss_type=cfg.TCC.LOSS_TYPE,
+              similarity_type=cfg.TCC.SIMILARITY_TYPE,
+              temperature=cfg.TCC.SOFTMAX_TEMPERATURE,
+              label_smoothing=cfg.TCC.LABEL_SMOOTHING,
+              variance_lambda=cfg.TCC.VARIANCE_LAMBDA,
+              huber_delta=cfg.TCC.HUBER_DELTA,
+              normalize_indices=cfg.TCC.NORMALIZE_INDICES)
+    embs = _Stub().apply({}, batch["videos"], T)
+    per_rank = [float(tcc_loss(embs[2 * r:2 * r + 2],
+                               batch["seq_lens"][2 * r:2 * r + 2],
+                               batch["chosen_steps"][2 * r:2 * r + 2],
+                               **kw)["loss"]) for r in range(8)]
+    np.testing.assert_allclose(got, np.mean(per_rank), rtol=1e-5)
+
+    glob = float(tcc_loss(embs, batch["seq_lens"], batch["chosen_steps"],
+                          **kw)["loss"])
+    assert abs(glob - np.mean(per_rank)) > 1e-7  # cross-rank pairs differ
+
+
 def test_dp_fallback_on_non_divisible_batch(dp_mesh):
     """Leading dim 3 doesn't divide 8 devices: must silently run the direct
     (unsharded) call — the eval chunk path depends on this."""
