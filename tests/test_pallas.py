@@ -229,18 +229,25 @@ def test_fused_photometric_augment_matches_jnp_pipeline():
     # mxu_resample=False: XLA crop + photometric-only kernel (exact path).
     # mxu_resample=True: crop+photometrics in ONE kernel — the RRC rides
     # the MXU as per-sample resample matrices, uint8 source enters via an
-    # int8 bitcast, and T=2 exercises the multi-frame-per-program unroll.
-    # In interpret mode the in-kernel dots are fp32, so both match the jnp
-    # pipeline to float tolerance.
-    for fused_crop in (False, True):
+    # int8 bitcast; VRL_CROP_FRAMES=2 exercises the multi-frame-per-program
+    # unroll (T=2). In interpret mode the in-kernel dots are fp32, so all
+    # paths match the jnp pipeline to float tolerance.
+    import os
+
+    for fused_crop, crop_frames in ((False, None), (True, None), (True, "2")):
         pf = p._replace(mxu_resample=fused_crop)
-        for seed in range(6):
-            key = jax.random.key(seed)
-            want = np.asarray(unfused(key))
-            got = np.asarray(fused_ssl_batch_augment(
-                key, jnp.asarray(videos), dims, pf))
-            np.testing.assert_allclose(got, want, atol=3e-5), (fused_crop,
-                                                               seed)
+        if crop_frames:
+            os.environ["VRL_CROP_FRAMES"] = crop_frames
+        try:
+            for seed in range(6):
+                key = jax.random.key(seed)
+                want = np.asarray(unfused(key))
+                got = np.asarray(fused_ssl_batch_augment(
+                    key, jnp.asarray(videos), dims, pf))
+                np.testing.assert_allclose(got, want, atol=3e-5), (
+                    fused_crop, crop_frames, seed)
+        finally:
+            os.environ.pop("VRL_CROP_FRAMES", None)
 
 
 def test_fused_crop_padded_canvas_and_odd_t():

@@ -478,10 +478,11 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
             lambda box: _rrc_matrix(H, S, box[2], box[0]))(boxes)  # (BV,S,H)
         rw = jax.vmap(
             lambda box: _rrc_matrix(W, S, box[3], box[1]).T)(boxes)  # (BV,W,S)
-        fenv = _os.environ.get("VRL_CROP_FRAMES")  # sweep override
+        fenv = _os.environ.get("VRL_CROP_FRAMES")  # sweep override / "auto"
+        frames = None if not fenv else (fenv if fenv == "auto" else int(fenv))
         out = fused_crop_photometric(planar, rh, rw, fscal,
                                      orders.astype(jnp.int32), mh, mw,
-                                     frames=int(fenv) if fenv else None)
+                                     frames=frames)
         return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
     def crop_one(v, box):

@@ -284,6 +284,12 @@ def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
     BV, T, C, H, W = videos.shape
     S = rh.shape[1]
     if frames is None:
+        # 1 = the on-chip-validated configuration; pass "auto" / an int via
+        # VRL_CROP_FRAMES (see augment.fused_ssl_batch_augment) after
+        # sweeping tools — multi-frame programs amortize grid overhead but
+        # have only been validated in interpret mode so far.
+        frames = 1
+    elif frames == "auto":
         frames = next(f for f in (4, 2, 1) if T % f == 0)
     assert T % frames == 0
     return pl.pallas_call(
