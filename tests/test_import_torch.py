@@ -3,6 +3,8 @@ dict and a timm-shaped ViT state dict must convert into the model's exact
 parameter tree (every imported tensor lands on a matching path/shape), and a
 known BN statistic must flow through to the forward pass."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -290,3 +292,143 @@ def test_full_carl_checkpoint_import(tmp_path):
     out = model.apply(loaded, x, 4, video_masks=masks, project=True,
                       train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_carl_checkpoint_export_roundtrip(tmp_path):
+    """The EXPORT direction (`export_carl_checkpoint`): our trained variables
+    must serialize to the reference's exact `checkpoint_epoch_*.pth` layout —
+    (a) key set identical to a reference-layout state dict (so the reference
+    model's `load_state_dict(strict=True)` passes), (b) the exported temporal
+    encoder strict-loads into the REFERENCE'S own torch Encoder and
+    reproduces our forward, (c) export -> `load_carl_checkpoint` round-trips
+    every leaf bit-exactly."""
+    torch = pytest.importorskip("torch")
+    from flax import traverse_util
+
+    from video_rep_learning_tpu.models.import_torch import (
+        export_carl_checkpoint, load_carl_checkpoint)
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 2
+    e.NUM_HEADS = 4
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 12
+
+    model = build_model(cfg)
+    x = jnp.zeros((1, 4, 64, 64, 3))
+    masks = jnp.ones((1, 1, 4))
+
+    def init_all(mdl, x, masks):
+        mdl(x, 4, video_masks=masks, project=True)
+        return mdl(x, 4, video_masks=masks, classification=True)
+
+    variables = model.init({"params": jax.random.key(7),
+                            "dropout": jax.random.key(8)},
+                           x, masks, method=init_all)
+
+    path = str(tmp_path / "checkpoint_epoch_00005.pth")
+    export_carl_checkpoint(path, variables, cfg.MODEL.BASE_MODEL.LAYER,
+                           epoch=5)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 5
+    sd = ckpt["model_state"]
+
+    # (a) exported keys == the reference layout's keys (synthetic reference
+    # state dict built from the reference's own Encoder module); resnet BNs
+    # additionally carry num_batches_tracked (real torchvision checkpoints
+    # have it; the synthetic fixture omits it)
+    ref_sd, _ = _reference_carl_state_dict(cfg)
+    nbt = lambda keys: {k for k in keys if k.endswith("num_batches_tracked")}
+    assert set(sd) - nbt(sd) == set(ref_sd) - nbt(ref_sd)
+    for k in list(sd):
+        if k.endswith("running_mean"):
+            base = k[: -len("running_mean")]
+            assert base + "num_batches_tracked" in sd, k
+
+    # (b) the exported encoder strict-loads into the reference's torch
+    # Encoder and reproduces our forward
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mutils_exp", "/root/reference/CARL_MVF/models/utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    enc = ref.Encoder(e.HIDDEN_SIZE, 0.0, e.NUM_HEADS, e.D_FF, e.NUM_LAYERS)
+    pre = "embed.video_encoder."
+    enc.load_state_dict({k[len(pre):]: v for k, v in sd.items()
+                         if k.startswith(pre)}, strict=True)
+    from video_rep_learning_tpu.models.layers import Encoder as JEncoder
+
+    xin = np.random.RandomState(3).randn(2, 4, e.HIDDEN_SIZE).astype(np.float32)
+    with torch.no_grad():
+        want = enc.eval()(torch.from_numpy(xin)).numpy()
+    got = np.asarray(JEncoder(e.HIDDEN_SIZE, 0.0, e.NUM_HEADS, e.D_FF,
+                              e.NUM_LAYERS).apply(
+        {"params": variables["params"]["embed"]["video_encoder"]},
+        jnp.asarray(xin)))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+    # (c) export -> import round-trip is bit-exact on every leaf
+    loaded = load_carl_checkpoint(path, variables,
+                                  cfg.MODEL.BASE_MODEL.LAYER)
+    for col, name in ((loaded["params"], "params"),
+                      (loaded["batch_stats"], "batch_stats")):
+        want_flat = traverse_util.flatten_dict(variables[name])
+        got_flat = traverse_util.flatten_dict(col)
+        assert set(got_flat) == set(want_flat)
+        for key in want_flat:
+            np.testing.assert_array_equal(
+                np.asarray(got_flat[key]), np.asarray(want_flat[key]),
+                err_msg=str((name,) + key))
+
+
+def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
+    """tools/export_torch_checkpoint.py end-to-end: restore the newest orbax
+    checkpoint in LOGDIR (evaluate.py wiring) and write the reference-format
+    .pth; a trained leaf must round-trip into the exported state dict."""
+    torch = pytest.importorskip("torch")
+    yaml = pytest.importorskip("yaml")
+
+    from video_rep_learning_tpu.train import Trainer
+    from video_rep_learning_tpu.train.checkpoint import save_checkpoint
+
+    logdir = str(tmp_path / "logs")
+    os.makedirs(logdir)
+    from tests.test_train import micro_cfg
+
+    cfg = micro_cfg(str(tmp_path), logdir)
+    tr = Trainer(cfg, no_eval=True, build_loaders=False)
+    tr.init_state()
+    save_checkpoint(cfg.LOGDIR, jax.device_get(tr.state), 3)
+
+    cfg_file = str(tmp_path / "cfg.yml")
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.to_plain(), f)
+
+    import tools.export_torch_checkpoint as tool
+
+    out = str(tmp_path / "exported.pth")
+    monkeypatch.setattr("sys.argv", [
+        "export_torch_checkpoint.py", "--cfg_file", cfg_file,
+        "--logdir", logdir, "--out", out])
+    tool.main()
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    sd = ckpt["model_state"]
+    want = np.asarray(jax.device_get(
+        tr.variables["params"]["embed"]["video_emb"]["Dense_0"]["kernel"]))
+    np.testing.assert_array_equal(sd["embed.video_emb.weight"].numpy().T,
+                                  want)

@@ -1,4 +1,4 @@
-"""Torch checkpoint -> flax parameter import.
+"""Torch checkpoint <-> flax parameter import/export.
 
 Covers the reference's pretrained-weight surface (SURVEY.md §2.2):
 - torchvision ResNet-50 state dicts, including the BYOL / SimCLR / MoCo-v2
@@ -379,3 +379,191 @@ def load_carl_checkpoint(path: str, variables, layer: int):
             flat[key] = v.astype(np.asarray(flat[key]).dtype)
     return {"params": traverse_util.unflatten_dict(flat_p),
             "batch_stats": traverse_util.unflatten_dict(flat_s)}
+
+
+# ---------------------------------------------------------------------------
+# flax -> reference checkpoint EXPORT (inverse of convert_carl_checkpoint)
+# ---------------------------------------------------------------------------
+
+def _inv_conv(v):
+    """flax conv kernel (kH, kW, I, O) -> torch (O, I, kH, kW)."""
+    return np.transpose(np.asarray(v, np.float32), (3, 2, 0, 1))
+
+
+def _inv_linear(sd, prefix, flat_p, base, consumed):
+    sd[prefix + ".weight"] = np.asarray(
+        flat_p[base + ("Dense_0", "kernel")], np.float32).T
+    consumed.add(base + ("Dense_0", "kernel"))
+    bkey = base + ("Dense_0", "bias")
+    if bkey in flat_p:
+        sd[prefix + ".bias"] = np.asarray(flat_p[bkey], np.float32)
+        consumed.add(bkey)
+
+
+def _inv_bn(sd, prefix, flat_p, flat_s, base, consumed):
+    sd[prefix + ".weight"] = np.asarray(
+        flat_p[base + ("BatchNorm_0", "scale")], np.float32)
+    sd[prefix + ".bias"] = np.asarray(
+        flat_p[base + ("BatchNorm_0", "bias")], np.float32)
+    sd[prefix + ".running_mean"] = np.asarray(
+        flat_s[base + ("BatchNorm_0", "mean")], np.float32)
+    sd[prefix + ".running_var"] = np.asarray(
+        flat_s[base + ("BatchNorm_0", "var")], np.float32)
+    # flax keeps no step counter; torch strict loads require the buffer
+    sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+    consumed.update({base + ("BatchNorm_0", "scale"),
+                     base + ("BatchNorm_0", "bias")})
+
+
+def convert_to_carl_state_dict(params, batch_stats, layer: int):
+    """CARLModel variables -> reference-layout `model_state` dict (the exact
+    inverse of `convert_carl_checkpoint`): numpy arrays keyed by the
+    reference `TransformerModel` state-dict names
+    (`models/transformer.py:118-139`), so a model trained HERE can be
+    evaluated/visualized with the reference's own tooling. Every BatchNorm
+    emits `num_batches_tracked = 0` so `load_state_dict(strict=True)`
+    passes. Raises on any param the reference layout cannot carry (e.g. the
+    ViT/MV-Former families, which have no released reference checkpoints)."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_s = traverse_util.flatten_dict(batch_stats or {})
+    sd = {}
+    consumed = set()
+
+    def export_resnet(root):
+        """Emit a flax ResNet subtree under torchvision-canonical names."""
+        canon = {}
+        sub = sorted(k for k in flat_p if k[0] == root)
+        for key in sub:
+            path = key[1:]
+            if path == ("conv1", "kernel"):
+                canon["conv1.weight"] = _inv_conv(flat_p[key])
+                consumed.add(key)
+            elif path[0] == "bn1":
+                pass  # handled via _inv_bn below
+            elif path[0].startswith("layer") and path[2].startswith("conv"):
+                lay, blk = path[0], path[1][len("block"):]
+                canon[f"{lay}.{blk}.{path[2]}.weight"] = _inv_conv(flat_p[key])
+                consumed.add(key)
+            elif path[0].startswith("layer") and path[2] == "downsample_conv":
+                lay, blk = path[0], path[1][len("block"):]
+                canon[f"{lay}.{blk}.downsample.0.weight"] = _inv_conv(
+                    flat_p[key])
+                consumed.add(key)
+        if (root, "conv1", "kernel") in flat_p:
+            canon_bn = {"bn1": ("bn1",)}
+        else:
+            canon_bn = {}
+        for key in sub:
+            path = key[1:]
+            if (path[0].startswith("layer") and path[2].startswith("bn")
+                    and path[-1] == "scale"):
+                lay, blk = path[0], path[1][len("block"):]
+                canon_bn[f"{lay}.{blk}.{path[2]}"] = (lay, path[1], path[2])
+            elif (path[0].startswith("layer") and path[2] == "downsample_bn"
+                  and path[-1] == "scale"):
+                lay, blk = path[0], path[1][len("block"):]
+                canon_bn[f"{lay}.{blk}.downsample.1"] = (lay, path[1],
+                                                         "downsample_bn")
+        bn_sd = {}
+        for name, base in canon_bn.items():
+            _inv_bn(bn_sd, name, flat_p, flat_s, (root,) + base, consumed)
+            consumed.update({(root,) + base + ("BatchNorm_0", "mean"),
+                             (root,) + base + ("BatchNorm_0", "var")})
+        canon.update(bn_sd)
+        return canon
+
+    # -- backbone / res_finetune under the reference's Sequential names -----
+    seq_of = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+              "layer3": "6", "layer4": "7"}
+    for name, v in export_resnet("backbone").items():
+        head, rest = name.split(".", 1)
+        sd[f"backbone.{seq_of[head]}.{rest}"] = v
+    if any(k[0] == "res_finetune" for k in flat_p):
+        for name, v in export_resnet("res_finetune").items():
+            head, rest = name.split(".", 1)
+            if layer == 3:
+                assert head == "layer4", name
+                sd[f"res_finetune.{rest}"] = v
+            elif layer == 2:
+                sd[f"res_finetune.{int(head[len('layer'):]) - 3}.{rest}"] = v
+            else:
+                raise ValueError(
+                    f"unexpected res_finetune subtree for LAYER={layer}")
+
+    # -- embed: TransformerEmbModel ------------------------------------------
+    g = 0
+    while ("embed", "fc_layers", f"fc{g}", "Dense_0", "kernel") in flat_p:
+        _inv_linear(sd, f"embed.fc_layers.{4 * g + 1}", flat_p,
+                    ("embed", "fc_layers", f"fc{g}"), consumed)
+        base = ("embed", "fc_layers", f"bn{g}")
+        _inv_bn(sd, f"embed.fc_layers.{4 * g + 2}", flat_p, flat_s, base,
+                consumed)
+        consumed.update({base + ("BatchNorm_0", "mean"),
+                         base + ("BatchNorm_0", "var")})
+        g += 1
+    _inv_linear(sd, "embed.video_emb", flat_p, ("embed", "video_emb"),
+                consumed)
+    n = 0
+    while ("embed", "video_encoder", f"layer{n}", "norm0",
+           "scale") in flat_p:
+        base = ("embed", "video_encoder", f"layer{n}")
+        pre = f"embed.video_encoder.enc_layers.{n}"
+        for norm, res in (("norm0", "res_layer0"), ("norm1", "res_layer1")):
+            sd[f"{pre}.{res}.norm.weight"] = np.asarray(
+                flat_p[base + (norm, "scale")], np.float32)
+            sd[f"{pre}.{res}.norm.bias"] = np.asarray(
+                flat_p[base + (norm, "bias")], np.float32)
+            consumed.update({base + (norm, "scale"), base + (norm, "bias")})
+        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
+            _inv_linear(sd, f"{pre}.self_att.{ln}", flat_p,
+                        base + ("self_att", ln), consumed)
+        for fc in ("fc1", "fc2"):
+            _inv_linear(sd, f"{pre}.feed_forward.{fc}", flat_p,
+                        base + ("feed_forward", fc), consumed)
+        n += 1
+    _inv_linear(sd, "embed.embedding_layer", flat_p,
+                ("embed", "embedding_layer"), consumed)
+
+    # -- ssl_projection / classifier / cls residual --------------------------
+    if ("ssl_projection", "fc1", "Dense_0", "kernel") in flat_p:
+        _inv_linear(sd, "ssl_projection.net.0", flat_p,
+                    ("ssl_projection", "fc1"), consumed)
+        base = ("ssl_projection", "bn")
+        _inv_bn(sd, "ssl_projection.net.1", flat_p, flat_s, base, consumed)
+        consumed.update({base + ("BatchNorm_0", "mean"),
+                         base + ("BatchNorm_0", "var")})
+        _inv_linear(sd, "ssl_projection.net.3", flat_p,
+                    ("ssl_projection", "fc2"), consumed)
+    if ("classifier", "fc", "Dense_0", "kernel") in flat_p:
+        _inv_linear(sd, "classifier.fc_layers.1", flat_p,
+                    ("classifier", "fc"), consumed)
+    if ("cls_res_res", "Dense_0", "kernel") in flat_p:
+        _inv_linear(sd, "cls_res_res", flat_p, ("cls_res_res",), consumed)
+
+    left_p = set(flat_p) - consumed
+    left_s = set(flat_s) - consumed
+    if left_p or left_s:
+        left = sorted(left_p | left_s)
+        raise KeyError(
+            "model has weights the reference CARL checkpoint layout cannot "
+            f"carry: {left[:8]} (+{max(0, len(left) - 8)} more)")
+    return sd
+
+
+def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
+                           cfg=None, optimizer_state=None):
+    """Save CARLModel variables as a reference-format
+    `checkpoint_epoch_*.pth` ({epoch, model_state, optimizer_state, cfg} —
+    `models/__init__.py:17-29`) loadable by the reference's own
+    `load_checkpoint`/`evaluate.py` with `strict=True`. The inverse of
+    `load_carl_checkpoint`; round-trip tested in
+    tests/test_import_torch.py."""
+    import torch
+
+    sd = convert_to_carl_state_dict(variables["params"],
+                                    variables.get("batch_stats", {}), layer)
+    model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                   for k, v in sd.items()}
+    torch.save({"epoch": int(epoch), "model_state": model_state,
+                "optimizer_state": optimizer_state, "cfg": cfg}, path)
+    return path
