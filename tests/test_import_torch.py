@@ -432,3 +432,123 @@ def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
         tr.variables["params"]["embed"]["video_emb"]["Dense_0"]["kernel"]))
     np.testing.assert_array_equal(sd["embed.video_emb.weight"].numpy().T,
                                   want)
+
+
+def _load_ref_mvformer():
+    """Import the reference's mvformer.py in place (it does
+    `from models.utils import *`; alias a fake `models` package first)."""
+    import importlib.util
+    import sys
+    import types
+
+    def load(relpath, name):
+        spec = importlib.util.spec_from_file_location(
+            name, "/root/reference/CARL_MVF/" + relpath)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    utils = load("models/utils.py", "ref_models_utils_imp")
+    pkg = types.ModuleType("models")
+    pkg.utils = utils
+    sys.modules.setdefault("models", pkg)
+    sys.modules.setdefault("models.utils", utils)
+    return load("models/mvformer.py", "ref_mvformer_imp")
+
+
+class _AD(dict):
+    __getattr__ = dict.__getitem__
+
+
+def test_full_mvf_checkpoint_import_export_roundtrip(tmp_path):
+    """MV-Former-family checkpoint interop: export our smart-fusion model
+    (fully-frozen tiny timm ViT) to the reference layout — key set equal to
+    {timm state dict under backbone.model.* + the REFERENCE'S OWN
+    MultiEntityTransformerEmbModel state dict under embed.* + MLPHead +
+    classifier}, the exported head strict-loads into the reference module —
+    then import back bit-exactly via load_mvf_checkpoint."""
+    torch = pytest.importorskip("torch")
+    from flax import traverse_util
+
+    from video_rep_learning_tpu.models.import_torch import (
+        export_mvf_checkpoint, load_mvf_checkpoint)
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 32
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = 12  # fully frozen (>= depth 2)
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 8
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.SMART_ONE_HOT = "pool"
+    e.SMART_FINAL = "one"
+    e.SMART_TOKENS = 2
+    e.SMART_POOL_CHANNELS = 16
+    e.NUM_LAYERS = 1
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 8
+
+    model = build_model(cfg)
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    masks = jnp.ones((1, 1, 4))
+
+    def init_all(mdl, x, masks):
+        mdl(x, 4, video_masks=masks, project=True)
+        return mdl(x, 4, video_masks=masks, classification=True)
+
+    variables = model.init({"params": jax.random.key(11),
+                            "dropout": jax.random.key(12)},
+                           x, masks, method=init_all)
+
+    path = str(tmp_path / "checkpoint_epoch_00004.pth")
+    export_mvf_checkpoint(path, variables, depth=2, patch_size=8, epoch=4)
+    sd = torch.load(path, map_location="cpu",
+                    weights_only=False)["model_state"]
+
+    # (a) key-set parity with the reference layout
+    ref_mvf = _load_ref_mvformer()
+    emb_cfg = _AD(FC_DROPOUT_RATE=0.0, SMART_POOL_CHANNELS=16,
+                  SMART_TOKENS=2, CAPACITY_SCALAR=1, FC_LAYERS=[[16, True]],
+                  EMBEDDING_SIZE=8, HIDDEN_SIZE=16, NUM_LAYERS=1,
+                  NUM_HEADS=2, D_FF=32, SMART_FINAL="one",
+                  SMART_ONE_HOT="pool")
+    ref_cfg = _AD(MODEL=_AD(EMBEDDER_MODEL=emb_cfg,
+                            BASE_MODEL=_AD(OUT_CHANNEL=32)),
+                  TRAIN=_AD(NUM_FRAMES=4))
+    torch.manual_seed(0)
+    tmod = ref_mvf.MultiEntityTransformerEmbModel(ref_cfg)
+    want_keys = {"backbone.model." + k for k in synthetic_vit_sd()}
+    want_keys |= {"embed." + k for k in tmod.state_dict()}
+    want_keys |= {"ssl_projection.net.0.weight", "ssl_projection.net.0.bias",
+                  "ssl_projection.net.3.weight", "ssl_projection.net.3.bias",
+                  "classifier.fc_layers.1.weight",
+                  "classifier.fc_layers.1.bias"}
+    want_keys |= {"ssl_projection.net.1." + s for s in
+                  ("weight", "bias", "running_mean", "running_var")}
+    nbt = lambda keys: {k for k in keys if k.endswith("num_batches_tracked")}
+    assert set(sd) - nbt(sd) == want_keys - nbt(want_keys)
+
+    # (b) the exported head strict-loads into the reference's own module
+    tmod.load_state_dict({k[len("embed."):]: v for k, v in sd.items()
+                          if k.startswith("embed.")}, strict=True)
+
+    # (c) export -> import round-trips every leaf bit-exactly
+    loaded = load_mvf_checkpoint(path, variables, depth=2)
+    for col, name in ((loaded["params"], "params"),
+                      (loaded["batch_stats"], "batch_stats")):
+        want_flat = traverse_util.flatten_dict(variables[name])
+        got_flat = traverse_util.flatten_dict(col)
+        assert set(got_flat) == set(want_flat)
+        for key in want_flat:
+            np.testing.assert_array_equal(
+                np.asarray(got_flat[key]), np.asarray(want_flat[key]),
+                err_msg=str((name,) + key))

@@ -44,8 +44,8 @@ def main():
                         help="dotted config overrides, as train.py")
     args = parser.parse_args()
 
-    from video_rep_learning_tpu.models.import_torch import \
-        export_carl_checkpoint
+    from video_rep_learning_tpu.models.import_torch import (
+        export_carl_checkpoint, export_mvf_checkpoint)
     from video_rep_learning_tpu.parser import load_config
     from video_rep_learning_tpu.train import Trainer
 
@@ -69,9 +69,19 @@ def main():
     out = args.out or os.path.join(
         cfg.LOGDIR, "checkpoints", f"checkpoint_epoch_{epoch:05d}.pth")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    export_carl_checkpoint(out, trainer.variables,
-                           cfg.MODEL.BASE_MODEL.LAYER, epoch=epoch,
-                           cfg=cfg.to_plain())
+    if cfg.MODEL.BASE_MODEL.NETWORK.startswith("TIMM-"):
+        # MV-Former family: fully-frozen timm backbone under backbone.model.*
+        from video_rep_learning_tpu.models.carl import resolve_model_spec
+
+        spec = resolve_model_spec(cfg)
+        export_mvf_checkpoint(out, trainer.variables,
+                              depth=spec.vit_spec.depth,
+                              patch_size=spec.vit_spec.patch,
+                              epoch=epoch, cfg=cfg.to_plain())
+    else:
+        export_carl_checkpoint(out, trainer.variables,
+                               cfg.MODEL.BASE_MODEL.LAYER, epoch=epoch,
+                               cfg=cfg.to_plain())
     logger.info("exported %s", out)
     print(out)
 

@@ -382,6 +382,155 @@ def load_carl_checkpoint(path: str, variables, layer: int):
 
 
 # ---------------------------------------------------------------------------
+# full reference MV-Former checkpoints (smart fusion, frozen timm backbone)
+# ---------------------------------------------------------------------------
+
+_TIMM_BLOCK_KEYS = ("norm1.weight", "norm1.bias", "attn.qkv.weight",
+                    "attn.qkv.bias", "attn.proj.weight", "attn.proj.bias",
+                    "norm2.weight", "norm2.bias", "mlp.fc1.weight",
+                    "mlp.fc1.bias", "mlp.fc2.weight", "mlp.fc2.bias")
+
+
+def _timm_vit_keys(depth: int):
+    keys = {"cls_token", "pos_embed", "patch_embed.proj.weight",
+            "patch_embed.proj.bias", "norm.weight", "norm.bias"}
+    for i in range(depth):
+        keys.update(f"blocks.{i}.{k}" for k in _TIMM_BLOCK_KEYS)
+    return keys
+
+
+def convert_mvf_checkpoint(model_state, depth: int):
+    """Reference MV-Former `TransformerModel` checkpoint `model_state`
+    (smart fusion + FULLY-FROZEN timm backbone — the flagship
+    penn/fg99/fg288 MVF shape; `transformer.py:94-99` wraps the timm model
+    as `backbone.model.*` via FeatureExtractor, `res_finetune` is Identity)
+    -> (params_flat, stats_flat) over the CARLModel tree. The
+    partially-frozen ViT split is NOT importable: the reference's
+    ViTFrontEnd/ViTBackEnd hold the full model plus duplicated block refs
+    (`transformer.py:342-392`), so its checkpoints carry aliased duplicates.
+    Any unconsumed key raises (same strictness as the CARL converter)."""
+    sd = dict(model_state)
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    if any(k.startswith("res_finetune.") for k in sd):
+        raise ValueError(
+            "partially-frozen ViT checkpoints are not importable "
+            "(reference ViTFrontEnd/ViTBackEnd duplicate block tensors)")
+
+    pre = "backbone.model."
+    vit_sd = {k[len(pre):]: take(k) for k in list(sd) if k.startswith(pre)}
+    expected = _timm_vit_keys(depth)
+    extra = set(vit_sd) - expected
+    if extra:
+        raise KeyError(f"unexpected timm backbone keys: {sorted(extra)[:8]}")
+    front, back = convert_vit(vit_sd, depth, depth)
+    assert not back
+    params = {("backbone",) + path: v for path, v in front.items()}
+    stats = {}
+
+    def put_linear(prefix, dst):
+        params[dst + ("Dense_0", "kernel")] = _np(take(prefix + ".weight")).T
+        if prefix + ".bias" in sd:
+            params[dst + ("Dense_0", "bias")] = _np(take(prefix + ".bias"))
+
+    def put_bn(prefix, dst):
+        params[dst + ("BatchNorm_0", "scale")] = _np(take(prefix + ".weight"))
+        params[dst + ("BatchNorm_0", "bias")] = _np(take(prefix + ".bias"))
+        stats[dst + ("BatchNorm_0", "mean")] = _np(
+            take(prefix + ".running_mean"))
+        stats[dst + ("BatchNorm_0", "var")] = _np(
+            take(prefix + ".running_var"))
+        if prefix + ".num_batches_tracked" in sd:
+            take(prefix + ".num_batches_tracked")
+
+    # -- embed: MultiEntityTransformerEmbModel (`mvformer.py:60-121`) -------
+    ca_pre = "embed.pooling.cross_att"
+    ca_dst = ("embed", "pooling", "cross_att")
+    if ca_pre + ".linear_K2d.weight" in sd:
+        put_linear(ca_pre + ".linear_K2d", ca_dst + ("linear_K2d",))
+        if ca_pre + ".linear_V2d.weight" in sd:  # absent under VAL_PASS
+            put_linear(ca_pre + ".linear_V2d", ca_dst + ("linear_V2d",))
+        if ca_pre + ".Q_s" in sd:
+            params[ca_dst + ("Q_s",)] = _np(take(ca_pre + ".Q_s"))
+            params[ca_dst + ("Q_s_b",)] = _np(take(ca_pre + ".Q_s_b"))
+        if ca_pre + ".in2dynQ.weight" in sd:
+            put_linear(ca_pre + ".in2dynQ", ca_dst + ("in2dynQ",))
+    if "embed.pooling.lin_conv.weight" in sd:  # FWBPooling baseline
+        put_linear("embed.pooling.lin_conv", ("embed", "pooling", "lin_conv"))
+
+    g = 0
+    while f"embed.fc_layers.{4 * g + 1}.weight" in sd:
+        put_linear(f"embed.fc_layers.{4 * g + 1}",
+                   ("embed", "fc_layers", f"fc{g}"))
+        put_bn(f"embed.fc_layers.{4 * g + 2}",
+               ("embed", "fc_layers", f"bn{g}"))
+        g += 1
+    put_linear("embed.video_emb", ("embed", "video_emb"))
+
+    def put_layernorm(prefix, dst):
+        params[dst + ("scale",)] = _np(take(prefix + ".weight"))
+        params[dst + ("bias",)] = _np(take(prefix + ".bias"))
+
+    n = 0
+    while f"embed.video_encoder.enc_layers.{n}.res_layer0.norm.weight" in sd:
+        base = ("embed", "video_encoder", f"layer{n}")
+        pre_n = f"embed.video_encoder.enc_layers.{n}"
+        put_layernorm(f"{pre_n}.res_layer0.norm", base + ("norm0",))
+        put_layernorm(f"{pre_n}.res_layer1.norm", base + ("norm1",))
+        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
+            put_linear(f"{pre_n}.self_att.{ln}", base + ("self_att", ln))
+        for fc in ("fc1", "fc2"):
+            put_linear(f"{pre_n}.feed_forward.{fc}",
+                       base + ("feed_forward", fc))
+        n += 1
+    if "embed.lin_final.weight" in sd:
+        put_linear("embed.lin_final", ("embed", "lin_final"))
+    put_linear("embed.embedding_layer", ("embed", "embedding_layer"))
+
+    if "ssl_projection.net.0.weight" in sd:
+        put_linear("ssl_projection.net.0", ("ssl_projection", "fc1"))
+        put_bn("ssl_projection.net.1", ("ssl_projection", "bn"))
+        put_linear("ssl_projection.net.3", ("ssl_projection", "fc2"))
+    if "classifier.fc_layers.1.weight" in sd:
+        put_linear("classifier.fc_layers.1", ("classifier", "fc"))
+    if "cls_res_res.weight" in sd:
+        put_linear("cls_res_res", ("cls_res_res",))
+
+    leftovers = set(sd) - consumed
+    if leftovers:
+        raise KeyError(f"unconverted reference weights: {sorted(leftovers)[:8]}"
+                       f" (+{max(0, len(leftovers) - 8)} more)")
+    return params, stats
+
+
+def load_mvf_checkpoint(path: str, variables, depth: int):
+    """torch.load a reference MV-Former checkpoint and merge it strictly
+    into initialized CARLModel variables (cf. `load_carl_checkpoint`)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    params_flat, stats_flat = convert_mvf_checkpoint(sd, depth)
+
+    flat_p = traverse_util.flatten_dict(variables["params"])
+    flat_s = traverse_util.flatten_dict(variables.get("batch_stats", {}))
+    for src, flat in ((params_flat, flat_p), (stats_flat, flat_s)):
+        for key, v in src.items():
+            if key not in flat:
+                raise KeyError(f"imported weight {key} not in model tree")
+            if flat[key].shape != v.shape:
+                raise ValueError(f"shape mismatch at {key}: "
+                                 f"{flat[key].shape} vs {v.shape}")
+            flat[key] = v.astype(np.asarray(flat[key]).dtype)
+    return {"params": traverse_util.unflatten_dict(flat_p),
+            "batch_stats": traverse_util.unflatten_dict(flat_s)}
+
+
+# ---------------------------------------------------------------------------
 # flax -> reference checkpoint EXPORT (inverse of convert_carl_checkpoint)
 # ---------------------------------------------------------------------------
 
@@ -562,6 +711,136 @@ def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
 
     sd = convert_to_carl_state_dict(variables["params"],
                                     variables.get("batch_stats", {}), layer)
+    model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                   for k, v in sd.items()}
+    torch.save({"epoch": int(epoch), "model_state": model_state,
+                "optimizer_state": optimizer_state, "cfg": cfg}, path)
+    return path
+
+
+def convert_to_mvf_state_dict(params, batch_stats, depth: int,
+                              patch_size: int):
+    """CARLModel variables (MV-Former family: smart fusion, fully-frozen
+    timm ViT backbone) -> reference-layout `model_state` dict — the inverse
+    of `convert_mvf_checkpoint`. Backbone keys under `backbone.model.*`
+    (FeatureExtractor wrapping, `transformer.py:94-99`); raises on any
+    weight the reference layout cannot carry."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_s = traverse_util.flatten_dict(batch_stats or {})
+    sd = {}
+    consumed = set()
+
+    # -- backbone: invert convert_vit under backbone.model.* ----------------
+    def bb(*path):
+        key = ("backbone",) + path
+        consumed.add(key)
+        return np.asarray(flat_p[key], np.float32)
+
+    sd["backbone.model.cls_token"] = bb("cls_token")
+    sd["backbone.model.pos_embed"] = bb("pos_embed")
+    pk = bb("patch_embed", "kernel")  # (p*p*C, O) row-major (p, p, C)
+    o = pk.shape[1]
+    c = 3
+    p = int(round((pk.shape[0] // c) ** 0.5))
+    assert p * p * c == pk.shape[0], pk.shape
+    sd["backbone.model.patch_embed.proj.weight"] = (
+        pk.reshape(p, p, c, o).transpose(3, 2, 0, 1))
+    assert p == patch_size, (p, patch_size)
+    sd["backbone.model.patch_embed.proj.bias"] = bb("patch_embed", "bias")
+    for i in range(depth):
+        blk = f"block{i}"
+        pre = f"backbone.model.blocks.{i}"
+        for norm in ("norm1", "norm2"):
+            sd[f"{pre}.{norm}.weight"] = bb(blk, norm, "scale")
+            sd[f"{pre}.{norm}.bias"] = bb(blk, norm, "bias")
+        for mod in ("attn.qkv", "attn.proj", "mlp_fc1", "mlp_fc2"):
+            fpath = tuple(mod.split("."))
+            tname = mod.replace("mlp_", "mlp.fc").replace("fcfc", "fc")
+            sd[f"{pre}.{tname}.weight"] = bb(blk, *fpath, "kernel").T
+            sd[f"{pre}.{tname}.bias"] = bb(blk, *fpath, "bias")
+    sd["backbone.model.norm.weight"] = bb("norm", "scale")
+    sd["backbone.model.norm.bias"] = bb("norm", "bias")
+
+    # -- embed head / projection / classifier -------------------------------
+    def lin(prefix, base):
+        _inv_linear(sd, prefix, flat_p, base, consumed)
+
+    ca_dst = ("embed", "pooling", "cross_att")
+    if ca_dst + ("linear_K2d", "Dense_0", "kernel") in flat_p:
+        lin("embed.pooling.cross_att.linear_K2d", ca_dst + ("linear_K2d",))
+        if ca_dst + ("linear_V2d", "Dense_0", "kernel") in flat_p:
+            lin("embed.pooling.cross_att.linear_V2d",
+                ca_dst + ("linear_V2d",))
+        if ca_dst + ("Q_s",) in flat_p:
+            sd["embed.pooling.cross_att.Q_s"] = np.asarray(
+                flat_p[ca_dst + ("Q_s",)], np.float32)
+            sd["embed.pooling.cross_att.Q_s_b"] = np.asarray(
+                flat_p[ca_dst + ("Q_s_b",)], np.float32)
+            consumed.update({ca_dst + ("Q_s",), ca_dst + ("Q_s_b",)})
+        if ca_dst + ("in2dynQ", "Dense_0", "kernel") in flat_p:
+            lin("embed.pooling.cross_att.in2dynQ", ca_dst + ("in2dynQ",))
+    if ("embed", "pooling", "lin_conv", "Dense_0", "kernel") in flat_p:
+        lin("embed.pooling.lin_conv", ("embed", "pooling", "lin_conv"))
+
+    g = 0
+    while ("embed", "fc_layers", f"fc{g}", "Dense_0", "kernel") in flat_p:
+        lin(f"embed.fc_layers.{4 * g + 1}", ("embed", "fc_layers", f"fc{g}"))
+        base = ("embed", "fc_layers", f"bn{g}")
+        _inv_bn(sd, f"embed.fc_layers.{4 * g + 2}", flat_p, flat_s, base,
+                consumed)
+        consumed.update({base + ("BatchNorm_0", "mean"),
+                         base + ("BatchNorm_0", "var")})
+        g += 1
+    lin("embed.video_emb", ("embed", "video_emb"))
+    n = 0
+    while ("embed", "video_encoder", f"layer{n}", "norm0",
+           "scale") in flat_p:
+        base = ("embed", "video_encoder", f"layer{n}")
+        pre = f"embed.video_encoder.enc_layers.{n}"
+        for norm, res in (("norm0", "res_layer0"), ("norm1", "res_layer1")):
+            sd[f"{pre}.{res}.norm.weight"] = np.asarray(
+                flat_p[base + (norm, "scale")], np.float32)
+            sd[f"{pre}.{res}.norm.bias"] = np.asarray(
+                flat_p[base + (norm, "bias")], np.float32)
+            consumed.update({base + (norm, "scale"), base + (norm, "bias")})
+        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
+            lin(f"{pre}.self_att.{ln}", base + ("self_att", ln))
+        for fc in ("fc1", "fc2"):
+            lin(f"{pre}.feed_forward.{fc}", base + ("feed_forward", fc))
+        n += 1
+    if ("embed", "lin_final", "Dense_0", "kernel") in flat_p:
+        lin("embed.lin_final", ("embed", "lin_final"))
+    lin("embed.embedding_layer", ("embed", "embedding_layer"))
+
+    if ("ssl_projection", "fc1", "Dense_0", "kernel") in flat_p:
+        lin("ssl_projection.net.0", ("ssl_projection", "fc1"))
+        base = ("ssl_projection", "bn")
+        _inv_bn(sd, "ssl_projection.net.1", flat_p, flat_s, base, consumed)
+        consumed.update({base + ("BatchNorm_0", "mean"),
+                         base + ("BatchNorm_0", "var")})
+        lin("ssl_projection.net.3", ("ssl_projection", "fc2"))
+    if ("classifier", "fc", "Dense_0", "kernel") in flat_p:
+        lin("classifier.fc_layers.1", ("classifier", "fc"))
+    if ("cls_res_res", "Dense_0", "kernel") in flat_p:
+        lin("cls_res_res", ("cls_res_res",))
+
+    left = sorted((set(flat_p) - consumed) | (set(flat_s) - consumed))
+    if left:
+        raise KeyError(
+            "model has weights the reference MVF checkpoint layout cannot "
+            f"carry: {left[:8]} (+{max(0, len(left) - 8)} more)")
+    return sd
+
+
+def export_mvf_checkpoint(path: str, variables, depth: int, patch_size: int,
+                          epoch: int = 0, cfg=None, optimizer_state=None):
+    """Save MV-Former-family CARLModel variables as a reference-format
+    `checkpoint_epoch_*.pth` (cf. `export_carl_checkpoint`)."""
+    import torch
+
+    sd = convert_to_mvf_state_dict(variables["params"],
+                                   variables.get("batch_stats", {}), depth,
+                                   patch_size)
     model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                    for k, v in sd.items()}
     torch.save({"epoch": int(epoch), "model_state": model_state,
