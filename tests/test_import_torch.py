@@ -552,3 +552,62 @@ def test_full_mvf_checkpoint_import_export_roundtrip(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(got_flat[key]), np.asarray(want_flat[key]),
                 err_msg=str((name,) + key))
+
+
+def test_import_torch_checkpoint_cli(tmp_path, monkeypatch):
+    """tools/import_torch_checkpoint.py end-to-end: a reference-format .pth
+    becomes an orbax checkpoint that a fresh Trainer auto-restores (the
+    evaluate.py path for released reference checkpoints) with the imported
+    weights and epoch."""
+    torch = pytest.importorskip("torch")
+    yaml = pytest.importorskip("yaml")
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.LOGDIR = str(tmp_path / "logs")
+    os.makedirs(cfg.LOGDIR)
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 2
+    e.NUM_HEADS = 4
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 12
+
+    sd, _ = _reference_carl_state_dict(cfg)
+    pth = str(tmp_path / "checkpoint_epoch_00009.pth")
+    torch.save({"epoch": 9, "model_state": sd, "optimizer_state": {},
+                "cfg": None}, pth)
+    cfg_file = str(tmp_path / "cfg.yml")
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.to_plain(), f)
+
+    import tools.import_torch_checkpoint as tool
+
+    monkeypatch.setattr("sys.argv", [
+        "import_torch_checkpoint.py", "--cfg_file", cfg_file,
+        "--logdir", cfg.LOGDIR, "--pth", pth])
+    tool.main()
+
+    # a fresh trainer (the evaluate.py wiring) restores the imported weights
+    from video_rep_learning_tpu.train import Trainer
+
+    tr = Trainer(cfg, no_eval=True, build_loaders=False)
+    tr.init_state()
+    assert tr.start_epoch == 10  # resume semantics: epoch+1
+    got = np.asarray(jax.device_get(
+        tr.variables["batch_stats"]["backbone"]["bn1"]["BatchNorm_0"]["mean"]))
+    np.testing.assert_allclose(got, np.asarray(sd["backbone.1.running_mean"]))
+    got_w = np.asarray(jax.device_get(
+        tr.variables["params"]["embed"]["video_emb"]["Dense_0"]["kernel"]))
+    np.testing.assert_allclose(
+        got_w, np.asarray(sd["embed.video_emb.weight"]).T, rtol=1e-6)

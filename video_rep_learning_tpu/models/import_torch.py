@@ -357,21 +357,20 @@ def convert_carl_checkpoint(model_state, layer: int):
     return params, stats
 
 
-def load_carl_checkpoint(path: str, variables, layer: int):
-    """torch.load a reference CARL checkpoint and merge it (strictly: every
-    weight must land, shapes must match) into initialized CARLModel
-    variables. Returns new {params, batch_stats}."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
-    params_flat, stats_flat = convert_carl_checkpoint(sd, layer)
-
+def _merge_strict(variables, params_flat, stats_flat, optional_roots=()):
+    """Merge converted flat dicts into initialized variables. Every imported
+    weight must land shape-exactly, EXCEPT subtrees rooted at
+    `optional_roots` that the flax config did not materialize (e.g. the
+    reference's always-present `classifier` head when the eval config never
+    traces classification) — those are skipped."""
     flat_p = traverse_util.flatten_dict(variables["params"])
     flat_s = traverse_util.flatten_dict(variables.get("batch_stats", {}))
     for src, flat in ((params_flat, flat_p), (stats_flat, flat_s)):
         for key, v in src.items():
             if key not in flat:
+                if key[0] in optional_roots and not any(
+                        k[0] == key[0] for k in flat):
+                    continue
                 raise KeyError(f"imported weight {key} not in model tree")
             if flat[key].shape != v.shape:
                 raise ValueError(f"shape mismatch at {key}: "
@@ -379,6 +378,20 @@ def load_carl_checkpoint(path: str, variables, layer: int):
             flat[key] = v.astype(np.asarray(flat[key]).dtype)
     return {"params": traverse_util.unflatten_dict(flat_p),
             "batch_stats": traverse_util.unflatten_dict(flat_s)}
+
+
+def load_carl_checkpoint(path: str, variables, layer: int,
+                         optional_roots=()):
+    """torch.load a reference CARL checkpoint and merge it (strictly: every
+    weight must land, shapes must match, modulo `optional_roots` — see
+    `_merge_strict`) into initialized CARLModel variables. Returns new
+    {params, batch_stats}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    params_flat, stats_flat = convert_carl_checkpoint(sd, layer)
+    return _merge_strict(variables, params_flat, stats_flat, optional_roots)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +520,8 @@ def convert_mvf_checkpoint(model_state, depth: int):
     return params, stats
 
 
-def load_mvf_checkpoint(path: str, variables, depth: int):
+def load_mvf_checkpoint(path: str, variables, depth: int,
+                        optional_roots=()):
     """torch.load a reference MV-Former checkpoint and merge it strictly
     into initialized CARLModel variables (cf. `load_carl_checkpoint`)."""
     import torch
@@ -515,19 +529,7 @@ def load_mvf_checkpoint(path: str, variables, depth: int):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
     params_flat, stats_flat = convert_mvf_checkpoint(sd, depth)
-
-    flat_p = traverse_util.flatten_dict(variables["params"])
-    flat_s = traverse_util.flatten_dict(variables.get("batch_stats", {}))
-    for src, flat in ((params_flat, flat_p), (stats_flat, flat_s)):
-        for key, v in src.items():
-            if key not in flat:
-                raise KeyError(f"imported weight {key} not in model tree")
-            if flat[key].shape != v.shape:
-                raise ValueError(f"shape mismatch at {key}: "
-                                 f"{flat[key].shape} vs {v.shape}")
-            flat[key] = v.astype(np.asarray(flat[key]).dtype)
-    return {"params": traverse_util.unflatten_dict(flat_p),
-            "batch_stats": traverse_util.unflatten_dict(flat_s)}
+    return _merge_strict(variables, params_flat, stats_flat, optional_roots)
 
 
 # ---------------------------------------------------------------------------
