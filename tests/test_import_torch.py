@@ -751,3 +751,114 @@ def test_vit_forward_matches_torch_oracle(frozen_blocks):
 
     np.testing.assert_allclose(np.asarray(got_feats), want_feats, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_cls), want_cls, atol=2e-5)
+
+
+def _roundtrip_export_import(cfg, export_fn, load_fn, tmp_path, seed=21):
+    """Init a model from cfg, export -> re-import, assert every leaf
+    round-trips bit-exactly. Returns the exported state dict."""
+    torch = pytest.importorskip("torch")
+    from flax import traverse_util
+
+    model = build_model(cfg)
+    T, S = cfg.TRAIN.NUM_FRAMES, cfg.IMAGE_SIZE
+    x = jnp.zeros((1, T, S, S, 3))
+    masks = jnp.ones((1, 1, T))
+
+    def init_all(mdl, x, masks):
+        mdl(x, T, video_masks=masks, project=True)
+        return mdl(x, T, video_masks=masks, classification=True)
+
+    variables = model.init({"params": jax.random.key(seed),
+                            "dropout": jax.random.key(seed + 1)},
+                           x, masks, method=init_all)
+    path = str(tmp_path / "rt.pth")
+    export_fn(path, variables)
+    loaded = load_fn(path, variables)
+    for col, name in ((loaded["params"], "params"),
+                      (loaded["batch_stats"], "batch_stats")):
+        want_flat = traverse_util.flatten_dict(variables[name])
+        got_flat = traverse_util.flatten_dict(col)
+        assert set(got_flat) == set(want_flat)
+        for key in want_flat:
+            np.testing.assert_array_equal(
+                np.asarray(got_flat[key]), np.asarray(want_flat[key]),
+                err_msg=str((name,) + key))
+    return torch.load(path, map_location="cpu",
+                      weights_only=False)["model_state"]
+
+
+def test_late_cls_vit_checkpoint_roundtrip(tmp_path):
+    """timm + late-cls family (`ablate_dinoB8_cls.yml` shape): the reference
+    assigns the BARE timm model (no FeatureExtractor wrap), so backbone keys
+    have no `.model.` segment — export must emit that layout and import must
+    detect it."""
+    from video_rep_learning_tpu.models.import_torch import (
+        export_mvf_checkpoint, load_mvf_checkpoint)
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 32
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = 12
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 8
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "late"  # late-cls: CLS-token features only
+    e.NUM_LAYERS = 1
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 8
+
+    sd = _roundtrip_export_import(
+        cfg,
+        lambda p, v: export_mvf_checkpoint(p, v, depth=2, patch_size=8,
+                                           wrapped=False),
+        lambda p, v: load_mvf_checkpoint(p, v, depth=2), tmp_path)
+    assert "backbone.cls_token" in sd
+    assert not any(k.startswith("backbone.model.") for k in sd)
+    assert "embed.pooling.cross_att.Q_s" not in sd  # late head, no LSTP
+
+
+def test_resnet_smart_checkpoint_roundtrip(tmp_path):
+    """ResNet backbone + smart (LSTP) head (`ablate_rn50_lstp*.yml` shape):
+    the CARL converter must carry the MultiEntityTransformerEmbModel head."""
+    from video_rep_learning_tpu.models.import_torch import (
+        export_carl_checkpoint, load_carl_checkpoint)
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.SMART_ONE_HOT = "pool"
+    e.SMART_FINAL = "lin"  # exercises lin_final through the CARL converter
+    e.SMART_TOKENS = 2
+    e.SMART_POOL_CHANNELS = 16
+    e.NUM_LAYERS = 1
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 8
+
+    sd = _roundtrip_export_import(
+        cfg,
+        lambda p, v: export_carl_checkpoint(p, v, 3),
+        lambda p, v: load_carl_checkpoint(p, v, 3), tmp_path)
+    assert "embed.pooling.cross_att.Q_s" in sd
+    assert "embed.lin_final.weight" in sd
+    assert "backbone.0.weight" in sd  # resnet Sequential naming

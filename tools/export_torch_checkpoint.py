@@ -70,14 +70,20 @@ def main():
         cfg.LOGDIR, "checkpoints", f"checkpoint_epoch_{epoch:05d}.pth")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if cfg.MODEL.BASE_MODEL.NETWORK.startswith("TIMM-"):
-        # MV-Former family: fully-frozen timm backbone under backbone.model.*
+        # timm-backbone families; smart fusion / late-spatial wrap the model
+        # in FeatureExtractor (backbone.model.*), late-cls does not
         from video_rep_learning_tpu.models.carl import resolve_model_spec
 
         spec = resolve_model_spec(cfg)
+        e = cfg.MODEL.EMBEDDER_MODEL
+        fusion = e.get_path("FUSION_TYPE", "late") or "late"
+        late_type = e.get_path("LATE_TYPE", "cls") or "cls"
         export_mvf_checkpoint(out, trainer.variables,
                               depth=spec.vit_spec.depth,
                               patch_size=spec.vit_spec.patch,
-                              epoch=epoch, cfg=cfg.to_plain())
+                              epoch=epoch, cfg=cfg.to_plain(),
+                              wrapped=fusion != "late" or
+                              late_type == "spatial")
     else:
         export_carl_checkpoint(out, trainer.variables,
                                cfg.MODEL.BASE_MODEL.LAYER, epoch=epoch,

@@ -316,7 +316,23 @@ def convert_carl_checkpoint(model_state, layer: int):
         params[dst + ("scale",)] = _np(take(prefix + ".weight"))
         params[dst + ("bias",)] = _np(take(prefix + ".bias"))
 
-    # -- embed: TransformerEmbModel ----------------------------------------
+    # -- embed: TransformerEmbModel, or MultiEntityTransformerEmbModel when
+    # the checkpoint carries LSTP pooling keys (smart fusion on a ResNet
+    # backbone — the `ablate_rn50_lstp*` family) ----------------------------
+    ca_pre = "embed.pooling.cross_att"
+    ca_dst = ("embed", "pooling", "cross_att")
+    if ca_pre + ".linear_K2d.weight" in sd:
+        put_linear(ca_pre + ".linear_K2d", ca_dst + ("linear_K2d",))
+        if ca_pre + ".linear_V2d.weight" in sd:  # absent under VAL_PASS
+            put_linear(ca_pre + ".linear_V2d", ca_dst + ("linear_V2d",))
+        if ca_pre + ".Q_s" in sd:
+            params[ca_dst + ("Q_s",)] = _np(take(ca_pre + ".Q_s"))
+            params[ca_dst + ("Q_s_b",)] = _np(take(ca_pre + ".Q_s_b"))
+        if ca_pre + ".in2dynQ.weight" in sd:
+            put_linear(ca_pre + ".in2dynQ", ca_dst + ("in2dynQ",))
+    if "embed.pooling.lin_conv.weight" in sd:  # FWBPooling baseline
+        put_linear("embed.pooling.lin_conv", ("embed", "pooling", "lin_conv"))
+
     g = 0
     while f"embed.fc_layers.{4 * g + 1}.weight" in sd:
         put_linear(f"embed.fc_layers.{4 * g + 1}", ("embed", "fc_layers", f"fc{g}"))
@@ -334,6 +350,8 @@ def convert_carl_checkpoint(model_state, layer: int):
         for fc in ("fc1", "fc2"):
             put_linear(f"{pre}.feed_forward.{fc}", base + ("feed_forward", fc))
         n += 1
+    if "embed.lin_final.weight" in sd:
+        put_linear("embed.lin_final", ("embed", "lin_final"))
     put_linear("embed.embedding_layer", ("embed", "embedding_layer"))
 
     # -- ssl_projection: MLPHead -------------------------------------------
@@ -434,7 +452,11 @@ def convert_mvf_checkpoint(model_state, depth: int):
             "partially-frozen ViT checkpoints are not importable "
             "(reference ViTFrontEnd/ViTBackEnd duplicate block tensors)")
 
-    pre = "backbone.model."
+    # smart fusion / late-spatial wrap the timm model in FeatureExtractor
+    # (`transformer.py:94-99`) -> backbone.model.*; late-cls assigns the
+    # bare model -> backbone.*
+    pre = ("backbone.model." if "backbone.model.cls_token" in sd
+           else "backbone.")
     vit_sd = {k[len(pre):]: take(k) for k in list(sd) if k.startswith(pre)}
     expected = _timm_vit_keys(depth)
     extra = set(vit_sd) - expected
@@ -641,55 +663,8 @@ def convert_to_carl_state_dict(params, batch_stats, layer: int):
                 raise ValueError(
                     f"unexpected res_finetune subtree for LAYER={layer}")
 
-    # -- embed: TransformerEmbModel ------------------------------------------
-    g = 0
-    while ("embed", "fc_layers", f"fc{g}", "Dense_0", "kernel") in flat_p:
-        _inv_linear(sd, f"embed.fc_layers.{4 * g + 1}", flat_p,
-                    ("embed", "fc_layers", f"fc{g}"), consumed)
-        base = ("embed", "fc_layers", f"bn{g}")
-        _inv_bn(sd, f"embed.fc_layers.{4 * g + 2}", flat_p, flat_s, base,
-                consumed)
-        consumed.update({base + ("BatchNorm_0", "mean"),
-                         base + ("BatchNorm_0", "var")})
-        g += 1
-    _inv_linear(sd, "embed.video_emb", flat_p, ("embed", "video_emb"),
-                consumed)
-    n = 0
-    while ("embed", "video_encoder", f"layer{n}", "norm0",
-           "scale") in flat_p:
-        base = ("embed", "video_encoder", f"layer{n}")
-        pre = f"embed.video_encoder.enc_layers.{n}"
-        for norm, res in (("norm0", "res_layer0"), ("norm1", "res_layer1")):
-            sd[f"{pre}.{res}.norm.weight"] = np.asarray(
-                flat_p[base + (norm, "scale")], np.float32)
-            sd[f"{pre}.{res}.norm.bias"] = np.asarray(
-                flat_p[base + (norm, "bias")], np.float32)
-            consumed.update({base + (norm, "scale"), base + (norm, "bias")})
-        for ln in ("linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"):
-            _inv_linear(sd, f"{pre}.self_att.{ln}", flat_p,
-                        base + ("self_att", ln), consumed)
-        for fc in ("fc1", "fc2"):
-            _inv_linear(sd, f"{pre}.feed_forward.{fc}", flat_p,
-                        base + ("feed_forward", fc), consumed)
-        n += 1
-    _inv_linear(sd, "embed.embedding_layer", flat_p,
-                ("embed", "embedding_layer"), consumed)
-
-    # -- ssl_projection / classifier / cls residual --------------------------
-    if ("ssl_projection", "fc1", "Dense_0", "kernel") in flat_p:
-        _inv_linear(sd, "ssl_projection.net.0", flat_p,
-                    ("ssl_projection", "fc1"), consumed)
-        base = ("ssl_projection", "bn")
-        _inv_bn(sd, "ssl_projection.net.1", flat_p, flat_s, base, consumed)
-        consumed.update({base + ("BatchNorm_0", "mean"),
-                         base + ("BatchNorm_0", "var")})
-        _inv_linear(sd, "ssl_projection.net.3", flat_p,
-                    ("ssl_projection", "fc2"), consumed)
-    if ("classifier", "fc", "Dense_0", "kernel") in flat_p:
-        _inv_linear(sd, "classifier.fc_layers.1", flat_p,
-                    ("classifier", "fc"), consumed)
-    if ("cls_res_res", "Dense_0", "kernel") in flat_p:
-        _inv_linear(sd, "cls_res_res", flat_p, ("cls_res_res",), consumed)
+    _inv_embed_head(sd, flat_p, flat_s, consumed)
+    _inv_tail_heads(sd, flat_p, flat_s, consumed)
 
     left_p = set(flat_p) - consumed
     left_s = set(flat_s) - consumed
@@ -701,69 +676,10 @@ def convert_to_carl_state_dict(params, batch_stats, layer: int):
     return sd
 
 
-def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
-                           cfg=None, optimizer_state=None):
-    """Save CARLModel variables as a reference-format
-    `checkpoint_epoch_*.pth` ({epoch, model_state, optimizer_state, cfg} —
-    `models/__init__.py:17-29`) loadable by the reference's own
-    `load_checkpoint`/`evaluate.py` with `strict=True`. The inverse of
-    `load_carl_checkpoint`; round-trip tested in
-    tests/test_import_torch.py."""
-    import torch
-
-    sd = convert_to_carl_state_dict(variables["params"],
-                                    variables.get("batch_stats", {}), layer)
-    model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
-                   for k, v in sd.items()}
-    torch.save({"epoch": int(epoch), "model_state": model_state,
-                "optimizer_state": optimizer_state, "cfg": cfg}, path)
-    return path
-
-
-def convert_to_mvf_state_dict(params, batch_stats, depth: int,
-                              patch_size: int):
-    """CARLModel variables (MV-Former family: smart fusion, fully-frozen
-    timm ViT backbone) -> reference-layout `model_state` dict — the inverse
-    of `convert_mvf_checkpoint`. Backbone keys under `backbone.model.*`
-    (FeatureExtractor wrapping, `transformer.py:94-99`); raises on any
-    weight the reference layout cannot carry."""
-    flat_p = traverse_util.flatten_dict(params)
-    flat_s = traverse_util.flatten_dict(batch_stats or {})
-    sd = {}
-    consumed = set()
-
-    # -- backbone: invert convert_vit under backbone.model.* ----------------
-    def bb(*path):
-        key = ("backbone",) + path
-        consumed.add(key)
-        return np.asarray(flat_p[key], np.float32)
-
-    sd["backbone.model.cls_token"] = bb("cls_token")
-    sd["backbone.model.pos_embed"] = bb("pos_embed")
-    pk = bb("patch_embed", "kernel")  # (p*p*C, O) row-major (p, p, C)
-    o = pk.shape[1]
-    c = 3
-    p = int(round((pk.shape[0] // c) ** 0.5))
-    assert p * p * c == pk.shape[0], pk.shape
-    sd["backbone.model.patch_embed.proj.weight"] = (
-        pk.reshape(p, p, c, o).transpose(3, 2, 0, 1))
-    assert p == patch_size, (p, patch_size)
-    sd["backbone.model.patch_embed.proj.bias"] = bb("patch_embed", "bias")
-    for i in range(depth):
-        blk = f"block{i}"
-        pre = f"backbone.model.blocks.{i}"
-        for norm in ("norm1", "norm2"):
-            sd[f"{pre}.{norm}.weight"] = bb(blk, norm, "scale")
-            sd[f"{pre}.{norm}.bias"] = bb(blk, norm, "bias")
-        for mod in ("attn.qkv", "attn.proj", "mlp_fc1", "mlp_fc2"):
-            fpath = tuple(mod.split("."))
-            tname = mod.replace("mlp_", "mlp.fc").replace("fcfc", "fc")
-            sd[f"{pre}.{tname}.weight"] = bb(blk, *fpath, "kernel").T
-            sd[f"{pre}.{tname}.bias"] = bb(blk, *fpath, "bias")
-    sd["backbone.model.norm.weight"] = bb("norm", "scale")
-    sd["backbone.model.norm.bias"] = bb("norm", "bias")
-
-    # -- embed head / projection / classifier -------------------------------
+def _inv_embed_head(sd, flat_p, flat_s, consumed):
+    """Emit the embed.* head — TransformerEmbModel or (when LSTP pooling
+    params are present) MultiEntityTransformerEmbModel — shared by both
+    backbone families' exporters."""
     def lin(prefix, base):
         _inv_linear(sd, prefix, flat_p, base, consumed)
 
@@ -814,6 +730,12 @@ def convert_to_mvf_state_dict(params, batch_stats, depth: int,
         lin("embed.lin_final", ("embed", "lin_final"))
     lin("embed.embedding_layer", ("embed", "embedding_layer"))
 
+
+def _inv_tail_heads(sd, flat_p, flat_s, consumed):
+    """ssl_projection / classifier / CLS residual (shared)."""
+    def lin(prefix, base):
+        _inv_linear(sd, prefix, flat_p, base, consumed)
+
     if ("ssl_projection", "fc1", "Dense_0", "kernel") in flat_p:
         lin("ssl_projection.net.0", ("ssl_projection", "fc1"))
         base = ("ssl_projection", "bn")
@@ -826,6 +748,76 @@ def convert_to_mvf_state_dict(params, batch_stats, depth: int,
     if ("cls_res_res", "Dense_0", "kernel") in flat_p:
         lin("cls_res_res", ("cls_res_res",))
 
+
+def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
+                           cfg=None, optimizer_state=None):
+    """Save CARLModel variables as a reference-format
+    `checkpoint_epoch_*.pth` ({epoch, model_state, optimizer_state, cfg} —
+    `models/__init__.py:17-29`) loadable by the reference's own
+    `load_checkpoint`/`evaluate.py` with `strict=True`. The inverse of
+    `load_carl_checkpoint`; round-trip tested in
+    tests/test_import_torch.py."""
+    import torch
+
+    sd = convert_to_carl_state_dict(variables["params"],
+                                    variables.get("batch_stats", {}), layer)
+    model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                   for k, v in sd.items()}
+    torch.save({"epoch": int(epoch), "model_state": model_state,
+                "optimizer_state": optimizer_state, "cfg": cfg}, path)
+    return path
+
+
+def convert_to_mvf_state_dict(params, batch_stats, depth: int,
+                              patch_size: int, wrapped: bool = True):
+    """CARLModel variables (timm-ViT-backbone families: MV-Former smart
+    fusion and the late-cls/late-spatial ViT baselines, fully frozen) ->
+    reference-layout `model_state` dict — the inverse of
+    `convert_mvf_checkpoint`. `wrapped` picks the backbone key prefix:
+    smart fusion / late-spatial wrap the timm model in FeatureExtractor
+    (`transformer.py:94-99`) -> `backbone.model.*`; late-cls assigns the
+    bare model -> `backbone.*`. Raises on any weight the reference layout
+    cannot carry."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_s = traverse_util.flatten_dict(batch_stats or {})
+    sd = {}
+    consumed = set()
+    root = "backbone.model" if wrapped else "backbone"
+
+    # -- backbone: invert convert_vit ----------------------------------------
+    def bb(*path):
+        key = ("backbone",) + path
+        consumed.add(key)
+        return np.asarray(flat_p[key], np.float32)
+
+    sd[f"{root}.cls_token"] = bb("cls_token")
+    sd[f"{root}.pos_embed"] = bb("pos_embed")
+    pk = bb("patch_embed", "kernel")  # (p*p*C, O) row-major (p, p, C)
+    o = pk.shape[1]
+    c = 3
+    p = int(round((pk.shape[0] // c) ** 0.5))
+    assert p * p * c == pk.shape[0], pk.shape
+    sd[f"{root}.patch_embed.proj.weight"] = (
+        pk.reshape(p, p, c, o).transpose(3, 2, 0, 1))
+    assert p == patch_size, (p, patch_size)
+    sd[f"{root}.patch_embed.proj.bias"] = bb("patch_embed", "bias")
+    for i in range(depth):
+        blk = f"block{i}"
+        pre = f"{root}.blocks.{i}"
+        for norm in ("norm1", "norm2"):
+            sd[f"{pre}.{norm}.weight"] = bb(blk, norm, "scale")
+            sd[f"{pre}.{norm}.bias"] = bb(blk, norm, "bias")
+        for mod in ("attn.qkv", "attn.proj", "mlp_fc1", "mlp_fc2"):
+            fpath = tuple(mod.split("."))
+            tname = mod.replace("mlp_", "mlp.fc").replace("fcfc", "fc")
+            sd[f"{pre}.{tname}.weight"] = bb(blk, *fpath, "kernel").T
+            sd[f"{pre}.{tname}.bias"] = bb(blk, *fpath, "bias")
+    sd[f"{root}.norm.weight"] = bb("norm", "scale")
+    sd[f"{root}.norm.bias"] = bb("norm", "bias")
+
+    _inv_embed_head(sd, flat_p, flat_s, consumed)
+    _inv_tail_heads(sd, flat_p, flat_s, consumed)
+
     left = sorted((set(flat_p) - consumed) | (set(flat_s) - consumed))
     if left:
         raise KeyError(
@@ -835,14 +827,15 @@ def convert_to_mvf_state_dict(params, batch_stats, depth: int,
 
 
 def export_mvf_checkpoint(path: str, variables, depth: int, patch_size: int,
-                          epoch: int = 0, cfg=None, optimizer_state=None):
-    """Save MV-Former-family CARLModel variables as a reference-format
+                          epoch: int = 0, cfg=None, optimizer_state=None,
+                          wrapped: bool = True):
+    """Save timm-backbone-family CARLModel variables as a reference-format
     `checkpoint_epoch_*.pth` (cf. `export_carl_checkpoint`)."""
     import torch
 
     sd = convert_to_mvf_state_dict(variables["params"],
                                    variables.get("batch_stats", {}), depth,
-                                   patch_size)
+                                   patch_size, wrapped=wrapped)
     model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                    for k, v in sd.items()}
     torch.save({"epoch": int(epoch), "model_state": model_state,
