@@ -862,3 +862,109 @@ def test_resnet_smart_checkpoint_roundtrip(tmp_path):
     assert "embed.pooling.cross_att.Q_s" in sd
     assert "embed.lin_final.weight" in sd
     assert "backbone.0.weight" in sd  # resnet Sequential naming
+
+
+def _torch_resnet50(stop_after=4):
+    """Plain-torch ResNet-50 with torchvision's exact architecture and
+    state-dict key names (bottleneck v1.5: stride on conv2; downsample =
+    conv1x1+BN in each stage's block 0; stem conv7/2 p3 + maxpool3/2 p1) —
+    a functional oracle for `convert_resnet50` + ResNet50Trunk/Stages
+    (torchvision itself is not installed here). forward(x, upto) returns
+    the layer`upto` feature map."""
+    import torch
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, inplanes, planes, stride, downsample):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                    padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU()
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                               bias=False),
+                    tnn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            return self.relu(self.bn3(self.conv3(y)) + idt)
+
+    class ResNet50(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                    bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            inplanes = 64
+            for li, (planes, blocks, stride) in enumerate(
+                    ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)), 1):
+                mods = [Bottleneck(inplanes, planes, stride, True)]
+                inplanes = planes * 4
+                mods += [Bottleneck(inplanes, planes, 1, False)
+                         for _ in range(blocks - 1)]
+                setattr(self, f"layer{li}", tnn.Sequential(*mods))
+
+        def forward(self, x, upto=4):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(1, upto + 1):
+                x = getattr(self, f"layer{li}")(x)
+            return x
+
+    return ResNet50()
+
+
+def test_resnet_forward_matches_torch_oracle():
+    """FUNCTIONAL golden test of the ResNet-50 backbone: converted weights
+    through ResNet50Trunk (frozen, layers 1-3) and ResNet50Stages (layer 4,
+    eval-mode BN) must reproduce a plain-torch torchvision-architecture
+    ResNet-50 — validating conv-kernel layout, BN eps/stats wiring, v1.5
+    stride placement, and stem pooling semantics that shape-only import
+    tests cannot (this is the released-checkpoint parity path)."""
+    torch = pytest.importorskip("torch")
+    from flax import traverse_util
+
+    from video_rep_learning_tpu.models.resnet import (ResNet50Stages,
+                                                      ResNet50Trunk)
+
+    tmod = _torch_resnet50().eval()
+    # randomized BN stats so the test exercises the stat wiring for real
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          synthetic_resnet50_sd(seed=3).items()}
+    missing, unexpected = tmod.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing)
+
+    rng = np.random.RandomState(9)
+    x_nhwc = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want3 = tmod(torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy()),
+                     upto=3).numpy()
+        want4 = tmod(torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy()),
+                     upto=4).numpy()
+
+    bb_p, bb_s, ft_p, ft_s = convert_resnet50(
+        synthetic_resnet50_sd(seed=3), trunk_upto=3, finetune_start=4)
+    trunk = ResNet50Trunk(upto=3)
+    got3 = trunk.apply({"params": traverse_util.unflatten_dict(bb_p),
+                        "batch_stats": traverse_util.unflatten_dict(bb_s)},
+                       jnp.asarray(x_nhwc))
+    np.testing.assert_allclose(
+        np.asarray(got3).transpose(0, 3, 1, 2), want3, atol=2e-4, rtol=1e-4)
+
+    tail = ResNet50Stages(start=4)
+    got4 = tail.apply({"params": traverse_util.unflatten_dict(ft_p),
+                       "batch_stats": traverse_util.unflatten_dict(ft_s)},
+                      got3, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got4).transpose(0, 3, 1, 2), want4, atol=2e-4, rtol=1e-4)
