@@ -864,6 +864,44 @@ def test_resnet_smart_checkpoint_roundtrip(tmp_path):
     assert "backbone.0.weight" in sd  # resnet Sequential naming
 
 
+def test_vit_smart_dynamic_checkpoint_roundtrip(tmp_path):
+    """timm + smart with DYNAMIC queries (SMART_DYNAMIC_TOKENS=1, CLS-fed):
+    the in2dynQ projection must ride the converters both ways."""
+    from video_rep_learning_tpu.models.import_torch import (
+        export_mvf_checkpoint, load_mvf_checkpoint)
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 32
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = 12
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 8
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.SMART_ONE_HOT = "pool"
+    e.SMART_FINAL = "one"
+    e.SMART_TOKENS = 2
+    e.SMART_DYNAMIC_TOKENS = 1
+    e.SMART_POOL_CHANNELS = 16
+    e.NUM_LAYERS = 1
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 8
+
+    sd = _roundtrip_export_import(
+        cfg,
+        lambda p, v: export_mvf_checkpoint(p, v, depth=2, patch_size=8),
+        lambda p, v: load_mvf_checkpoint(p, v, depth=2), tmp_path)
+    assert "embed.pooling.cross_att.in2dynQ.weight" in sd
+
+
 def _torch_resnet50(stop_after=4):
     """Plain-torch ResNet-50 with torchvision's exact architecture and
     state-dict key names (bottleneck v1.5: stride on conv2; downsample =
