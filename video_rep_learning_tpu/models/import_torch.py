@@ -595,8 +595,10 @@ def convert_to_carl_state_dict(params, batch_stats, layer: int):
     (`models/transformer.py:118-139`), so a model trained HERE can be
     evaluated/visualized with the reference's own tooling. Every BatchNorm
     emits `num_batches_tracked = 0` so `load_state_dict(strict=True)`
-    passes. Raises on any param the reference layout cannot carry (e.g. the
-    ViT/MV-Former families, which have no released reference checkpoints)."""
+    passes. Covers ResNet backbones with either embed head (late
+    TransformerEmbModel or smart LSTP); timm-backbone families go through
+    `convert_to_mvf_state_dict`. Raises on any param the reference layout
+    cannot carry."""
     flat_p = traverse_util.flatten_dict(params)
     flat_s = traverse_util.flatten_dict(batch_stats or {})
     sd = {}
