@@ -1006,3 +1006,118 @@ def test_resnet_forward_matches_torch_oracle():
                       got3, train=False)
     np.testing.assert_allclose(
         np.asarray(got4).transpose(0, 3, 1, 2), want4, atol=2e-4, rtol=1e-4)
+
+
+def test_exported_optimizer_state_loads_in_reference_optimizer(tmp_path):
+    """The reference loads optimizer state UNCONDITIONALLY on resume —
+    including `evaluate.py:184-185` — so an exported checkpoint must carry a
+    param_groups structure its `construct_optimizer` accepts. Golden
+    contract: build a torch skeleton with the reference's exact module
+    layout, construct the optimizer with the REFERENCE'S OWN
+    `utils/optimizer.py` (TRAIN_BASE=frozen filtering, [bn, non-bn]
+    groups), and load our exported optimizer_state into it."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import types
+
+    import torch.nn as tnn
+
+    from video_rep_learning_tpu.models.import_torch import (
+        export_carl_checkpoint)
+
+    # our model + export (same cfg as the CARL round-trip test)
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 2
+    e.NUM_HEADS = 4
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 12
+
+    model = build_model(cfg)
+    x = jnp.zeros((1, 4, 64, 64, 3))
+    masks = jnp.ones((1, 1, 4))
+
+    def init_all(mdl, x, masks):
+        mdl(x, 4, video_masks=masks, project=True)
+        return mdl(x, 4, video_masks=masks, classification=True)
+
+    variables = model.init({"params": jax.random.key(31),
+                            "dropout": jax.random.key(32)},
+                           x, masks, method=init_all)
+    path = str(tmp_path / "ckpt.pth")
+    export_carl_checkpoint(path, variables, 3, cfg=cfg.to_plain())
+    opt_state = torch.load(path, map_location="cpu",
+                           weights_only=False)["optimizer_state"]
+    assert opt_state is not None and len(opt_state["param_groups"]) == 2
+
+    # reference-layout torch skeleton (module names drive the reference's
+    # 'backbone' filter and _NormBase grouping)
+    spec = importlib.util.spec_from_file_location(
+        "ref_mutils_opt", "/root/reference/CARL_MVF/models/utils.py")
+    ref_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+    spec = importlib.util.spec_from_file_location(
+        "ref_optimizer", "/root/reference/CARL_MVF/utils/optimizer.py")
+    ref_opt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_opt)
+
+    rn = _torch_resnet50()
+
+    class Embed(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            fc_ch = e.FC_LAYERS[0][0] * e.CAPACITY_SCALAR
+            self.fc_layers = tnn.Sequential(
+                tnn.Dropout(0.1), tnn.Linear(2048, fc_ch),
+                tnn.BatchNorm1d(fc_ch), tnn.ReLU())
+            self.video_emb = tnn.Linear(fc_ch, e.HIDDEN_SIZE)
+            self.video_encoder = ref_utils.Encoder(
+                e.HIDDEN_SIZE, 0.0, e.NUM_HEADS, e.D_FF, e.NUM_LAYERS)
+            self.embedding_layer = tnn.Linear(e.HIDDEN_SIZE,
+                                              e.EMBEDDING_SIZE)
+
+    class Proj(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Linear(e.EMBEDDING_SIZE, cfg.MODEL.PROJECTION_SIZE),
+                tnn.BatchNorm1d(cfg.MODEL.PROJECTION_SIZE), tnn.ReLU(),
+                tnn.Linear(cfg.MODEL.PROJECTION_SIZE, e.EMBEDDING_SIZE))
+
+    class Cls(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc_layers = tnn.Sequential(
+                tnn.Dropout(0.1), tnn.Linear(e.EMBEDDING_SIZE, 5))
+
+    class Skeleton(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = tnn.Sequential(
+                rn.conv1, rn.bn1, tnn.ReLU(), tnn.MaxPool2d(3, 2, 1),
+                rn.layer1, rn.layer2, rn.layer3)
+            self.res_finetune = rn.layer4
+            self.embed = Embed()
+            self.ssl_projection = Proj()
+            self.classifier = Cls()
+
+    cfg_ns = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(TRAIN_BASE="frozen"),
+        OPTIMIZER=types.SimpleNamespace(
+            TYPE="AdamOptimizer", WEIGHT_DECAY=1e-5,
+            LR=types.SimpleNamespace(INITIAL_LR=1e-4)))
+    optimizer = ref_opt.construct_optimizer(Skeleton(), cfg_ns)
+    optimizer.load_state_dict(opt_state)  # must validate group structure
+    assert [len(g["params"]) for g in optimizer.param_groups] == \
+        [len(g["params"]) for g in opt_state["param_groups"]]

@@ -751,6 +751,75 @@ def _inv_tail_heads(sd, flat_p, flat_s, consumed):
         lin("cls_res_res", ("cls_res_res",))
 
 
+def reference_optimizer_state(model_state, train_base="frozen",
+                              optim_type="AdamOptimizer", lr=1e-4,
+                              weight_decay=1e-5):
+    """Structurally-valid torch optimizer state for an exported checkpoint:
+    empty per-param state + param_groups with the reference's exact
+    [bn, non-bn] grouping and TRAIN_BASE filtering
+    (`utils/optimizer.py:10-52`), built by constructing that torch optimizer
+    over dummy leaves. The reference loads optimizer state UNCONDITIONALLY
+    on resume — including in `evaluate.py:184-185` — so exporting None would
+    crash its tooling; with this, `optimizer.load_state_dict` validates the
+    group structure and the moments simply start fresh."""
+    import torch
+
+    buffers = ("running_mean", "running_var", "num_batches_tracked")
+    bn, non_bn = [], []
+    for k in model_state:
+        leaf = k.rsplit(".", 1)[-1]
+        if leaf in buffers:
+            continue
+        mod = k.rsplit(".", 1)[0] if "." in k else ""
+        is_bn = (mod + ".running_mean") in model_state and leaf in (
+            "weight", "bias")
+        if "backbone" in k and train_base != "train_all":
+            if train_base == "frozen":
+                continue
+            if train_base == "only_bn" and not is_bn:
+                continue
+        (bn if is_bn else non_bn).append(k)
+
+    def dummy(n):
+        return [torch.zeros(1, requires_grad=True) for _ in range(n)]
+
+    groups = [{"params": dummy(len(bn)), "weight_decay": weight_decay},
+              {"params": dummy(len(non_bn)), "weight_decay": weight_decay}]
+    if optim_type == "MomentumOptimizer":
+        opt = torch.optim.SGD(groups, lr=lr, momentum=0.9,
+                              weight_decay=weight_decay)
+    elif optim_type == "AdamWOptimizer":
+        opt = torch.optim.AdamW(groups, lr=lr, betas=(0.9, 0.999),
+                                weight_decay=weight_decay)
+    else:
+        opt = torch.optim.Adam(groups, lr=lr, betas=(0.9, 0.999),
+                               weight_decay=weight_decay)
+    return opt.state_dict()
+
+
+def _auto_optimizer_state(optimizer_state, model_state, cfg):
+    """Resolve the exported optimizer_state: pass-through when given, else
+    build the reference-structured empty state from cfg (plain dict or
+    ConfigNode) with the reference's defaults."""
+    if optimizer_state is not None:
+        return optimizer_state
+
+    def get(d, *path, default=None):
+        node = d or {}
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return default
+            node = node[p]
+        return node if node is not None else default
+
+    return reference_optimizer_state(
+        model_state,
+        train_base=get(cfg, "MODEL", "TRAIN_BASE", default="frozen"),
+        optim_type=get(cfg, "OPTIMIZER", "TYPE", default="AdamOptimizer"),
+        lr=get(cfg, "OPTIMIZER", "LR", "INITIAL_LR", default=1e-4),
+        weight_decay=get(cfg, "OPTIMIZER", "WEIGHT_DECAY", default=1e-5))
+
+
 def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
                            cfg=None, optimizer_state=None):
     """Save CARLModel variables as a reference-format
@@ -766,7 +835,8 @@ def export_carl_checkpoint(path: str, variables, layer: int, epoch: int = 0,
     model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                    for k, v in sd.items()}
     torch.save({"epoch": int(epoch), "model_state": model_state,
-                "optimizer_state": optimizer_state, "cfg": cfg}, path)
+                "optimizer_state": _auto_optimizer_state(
+                    optimizer_state, sd, cfg), "cfg": cfg}, path)
     return path
 
 
@@ -841,5 +911,6 @@ def export_mvf_checkpoint(path: str, variables, depth: int, patch_size: int,
     model_state = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                    for k, v in sd.items()}
     torch.save({"epoch": int(epoch), "model_state": model_state,
-                "optimizer_state": optimizer_state, "cfg": cfg}, path)
+                "optimizer_state": _auto_optimizer_state(
+                    optimizer_state, sd, cfg), "cfg": cfg}, path)
     return path
