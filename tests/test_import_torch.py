@@ -1121,3 +1121,49 @@ def test_exported_optimizer_state_loads_in_reference_optimizer(tmp_path):
     optimizer.load_state_dict(opt_state)  # must validate group structure
     assert [len(g["params"]) for g in optimizer.param_groups] == \
         [len(g["params"]) for g in opt_state["param_groups"]]
+
+
+def test_pretrained_checkpoint_accepts_reference_pth(tmp_path):
+    """MODEL.PRETRAINED_CHECKPOINT pointing at a reference torch .pth (the
+    reference's K400 warm-start pattern, `configs_mvf/k400_penn_mvf.yml`)
+    must import in place: weights land, optimizer fresh, start_epoch 0."""
+    torch = pytest.importorskip("torch")
+    from video_rep_learning_tpu.train import Trainer
+
+    cfg = get_cfg()
+    cfg.DATASETS = ["pouring"]
+    cfg.LOGDIR = str(tmp_path / "logs")
+    os.makedirs(cfg.LOGDIR)
+    cfg.IMAGE_SIZE = 64
+    cfg.TRAIN.NUM_FRAMES = 4
+    cfg.EVAL.NUM_FRAMES = 4
+    cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 4
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.NUM_LAYERS = 2
+    e.NUM_HEADS = 4
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.CAPACITY_SCALAR = 1
+    cfg.MODEL.PROJECTION = True
+    cfg.MODEL.PROJECTION_SIZE = 12
+
+    sd, _ = _reference_carl_state_dict(cfg, seed=6)
+    pth = str(tmp_path / "checkpoint_epoch_00007.pth")
+    torch.save({"epoch": 7, "model_state": sd, "optimizer_state": {},
+                "cfg": None}, pth)
+
+    cfg.MODEL.PRETRAINED_CHECKPOINT = pth
+    tr = Trainer(cfg, no_eval=True, build_loaders=False)
+    tr.init_state()
+    assert tr.start_epoch == 0  # weights only, NOT a resume
+    got = np.asarray(jax.device_get(
+        tr.variables["batch_stats"]["backbone"]["bn1"]["BatchNorm_0"]["mean"]))
+    np.testing.assert_allclose(got, np.asarray(sd["backbone.1.running_mean"]))
+    got_w = np.asarray(jax.device_get(
+        tr.variables["params"]["embed"]["video_emb"]["Dense_0"]["kernel"]))
+    np.testing.assert_allclose(
+        got_w, np.asarray(sd["embed.video_emb.weight"]).T, rtol=1e-6)

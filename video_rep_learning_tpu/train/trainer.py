@@ -134,7 +134,34 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         trainable, frozen = split_params(params, cfg)
 
-        if cfg.MODEL.PRETRAINED_CHECKPOINT:
+        if cfg.MODEL.PRETRAINED_CHECKPOINT and str(
+                cfg.MODEL.PRETRAINED_CHECKPOINT).endswith(".pth"):
+            # the reference points PRETRAINED_CHECKPOINT at torch .pth files
+            # (`configs_mvf/k400_penn_mvf.yml:63`, `models/__init__.py:50-59`)
+            # — import it in place so reference configs work verbatim; the
+            # optimizer starts fresh (the reference skips it too)
+            from ..models.import_torch import (load_carl_checkpoint,
+                                               load_mvf_checkpoint)
+
+            variables = {"params": merge_params(trainable, frozen),
+                         "batch_stats": batch_stats}
+            if cfg.MODEL.BASE_MODEL.NETWORK.startswith("TIMM-"):
+                from ..models.carl import resolve_model_spec
+
+                loaded = load_mvf_checkpoint(
+                    cfg.MODEL.PRETRAINED_CHECKPOINT, variables,
+                    depth=resolve_model_spec(cfg).vit_spec.depth,
+                    optional_roots=("classifier",))
+            else:
+                loaded = load_carl_checkpoint(
+                    cfg.MODEL.PRETRAINED_CHECKPOINT, variables,
+                    cfg.MODEL.BASE_MODEL.LAYER,
+                    optional_roots=("classifier",))
+            logger.info("warm start from torch checkpoint %s",
+                        cfg.MODEL.PRETRAINED_CHECKPOINT)
+            batch_stats = loaded["batch_stats"]
+            trainable, frozen = split_params(loaded["params"], cfg)
+        elif cfg.MODEL.PRETRAINED_CHECKPOINT:
             # weights-only warm start (`models/__init__.py:50-59`): restore
             # the full checkpoint tree (orbax requires matching structure)
             # but keep only the model subtrees — the optimizer starts fresh
