@@ -175,3 +175,27 @@ def test_invalid_configs_raise():
     cfg.MODEL.BASE_MODEL.NETWORK = "Resnet50_byol"  # not timm
     with pytest.raises(ValueError):
         build_model(cfg)
+
+
+def test_s2d_stem_matches_direct_conv(monkeypatch):
+    """VRL_S2D_STEM=1 (space-to-depth 4x4/1 stem) is an exact
+    reparameterization of the 7x7/2 conv1 — same params, same output."""
+    from video_rep_learning_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 30, 3),
+                    jnp.float32)
+    mod = StemConv()
+    params = mod.init(jax.random.key(0), x)
+    monkeypatch.delenv("VRL_S2D_STEM", raising=False)
+    direct = mod.apply(params, x)
+    monkeypatch.setenv("VRL_S2D_STEM", "1")
+    s2d = jax.jit(mod.apply)(params, x)
+    assert direct.shape == s2d.shape == (2, 16, 15, 64)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                               rtol=2e-5, atol=2e-5)
+
+    # odd spatial dims fall back to the direct conv (no crash, same result)
+    xo = x[:, :31, :29]
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(params, xo)),
+        np.asarray(jax.jit(mod.apply)(params, xo)), rtol=0, atol=0)

@@ -18,8 +18,11 @@ Weight import from torchvision / BYOL / SimCLR / MoCo-v2 checkpoints is in
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import TorchBatchNorm
@@ -76,6 +79,66 @@ class ResNetStage(nn.Module):
 _STAGES = ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2))
 
 
+def _s2d_weights(w):
+    """Exact space-to-depth reparameterization of the 7x7/2 stem kernel.
+
+    out[i,j,o] = sum_{u,v,c} w[u,v,c,o] * x[2i+u-3, 2j+v-3, c]. Writing input
+    row r = 2a+dy (a = r//2, dy = r%2), the receptive rows r in [2i-3, 2i+3]
+    span s2d rows a in [i-2, i+1]; with ka = a-(i-2) in [0,4) we get
+    u = 2*ka + dy - 1 (u = -1, i.e. ka=dy=0, falls outside the 7-tap kernel
+    -> zero). So a 4x4 stride-1 conv over the (H/2, W/2, 4C) space-to-depth
+    input with padding ((2,1),(2,1)) reproduces conv1 exactly, with
+    w4[ka,kb,(dy,dx,c),o] = wpad[2ka+dy, 2kb+dx, c, o].
+    """
+    C = w.shape[2]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    w4 = wp.reshape(4, 2, 4, 2, C, w.shape[3])         # (ka, dy, kb, dx, C, O)
+    w4 = w4.transpose(0, 2, 1, 3, 4, 5)                # (ka, kb, dy, dx, C, O)
+    return w4.reshape(4, 4, 4 * C, w.shape[3])
+
+
+def _space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) with channel order (dy, dx, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+class StemConv(nn.Module):
+    """ResNet stem conv1 (7x7/2, pad 3, no bias) with an optional exact
+    space-to-depth compute path (`VRL_S2D_STEM=1`).
+
+    The parameter is ALWAYS the torchvision-layout (7, 7, 3, 64) HWIO kernel
+    (checkpoint import/export unchanged); the s2d path derives the 4x4
+    stride-1 kernel from it at trace time (tiny transform, fused by XLA).
+    Motivation: the direct stem contracts only K = 7*7*3 = 147 with stride 2
+    — the least MXU-friendly conv in the trunk; s2d raises it to a dense
+    K = 192 stride-1 conv on a 2x2-packed input (the standard TPU ResNet
+    trick, e.g. MLPerf submissions). Parity is exact by construction and
+    tested (`tests/test_models.py::test_s2d_stem_matches_direct_conv`).
+    """
+
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, x.shape[-1], 64))
+        dt = self.dtype or x.dtype
+        xc = x.astype(dt)
+        s2d = (os.environ.get("VRL_S2D_STEM", "0") == "1"
+               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if s2d:
+            return jax.lax.conv_general_dilated(
+                _space_to_depth(xc), _s2d_weights(w).astype(dt),
+                window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xc, w.astype(dt), window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet50Trunk(nn.Module):
     """Stem + layer1..layer`upto` of ResNet-50. Input NHWC float. Always
     inference-mode BN (this is the frozen part)."""
@@ -86,8 +149,7 @@ class ResNet50Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = TorchBatchNorm(self.axis_name, dtype=self.dtype, name="bn1")(
             x, use_running_average=True)
         x = nn.relu(x)
