@@ -34,7 +34,9 @@ def main():
     logger.info(pprint.pformat(cfg.to_plain()))
 
     trainer = Trainer(cfg)
-    trainer.init_state()
+    # epoch checkpoints only (reference semantics): mid-epoch preemption
+    # checkpoints are a training-resume concern, not an eval target
+    trainer.init_state(resume_mid=False)
     start_epoch = max(trainer.start_epoch - 1, 0)
 
     t0 = time.time()

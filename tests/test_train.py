@@ -170,3 +170,80 @@ def test_val_epoch(synth_dir, tmp_path):
     tr.init_state()
     losses = tr.val_one_epoch(0)
     assert np.isfinite(losses["loss"])
+
+
+def test_mid_epoch_resume_exact_trajectory(synth_dir, tmp_path):
+    """CHECKPOINT.SAVE_EVERY_N_ITERS preemption resume: kill training after
+    the first iter of an epoch, auto-resume from the mid-epoch checkpoint,
+    finish the epoch — final trainable params and optimizer state must be
+    BIT-IDENTICAL to an uninterrupted run (deterministic per-epoch shuffle +
+    iter-folded RNG + epoch-pure LR)."""
+    from video_rep_learning_tpu.train import Trainer
+
+    # uninterrupted run
+    cfg_a = micro_cfg(synth_dir, str(tmp_path / "straight"))
+    os.makedirs(cfg_a.LOGDIR)
+    tr_a = Trainer(cfg_a, no_eval=True)
+    tr_a.init_state()
+    tr_a.train_one_epoch(0)
+
+    # preempted run: mid checkpoint after every iter; loader truncated to
+    # one batch simulates the preemption
+    cfg_b = micro_cfg(synth_dir, str(tmp_path / "preempt"))
+    cfg_b.CHECKPOINT.SAVE_EVERY_N_ITERS = 1
+    os.makedirs(cfg_b.LOGDIR)
+    tr_b = Trainer(cfg_b, no_eval=True)
+    tr_b.init_state()
+
+    class Truncated:
+        def __init__(self, inner, n):
+            self.inner, self.n = inner, n
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            import itertools
+            return itertools.islice(iter(self.inner), self.n)
+
+    full_loader = tr_b.train_loader
+    tr_b.train_loader = Truncated(full_loader, 1)
+    tr_b.train_one_epoch(0)  # runs iter 0 only, saves checkpoint_iter_*
+
+    from video_rep_learning_tpu.train.checkpoint import _list_mid_checkpoints
+    mids = _list_mid_checkpoints(cfg_b.LOGDIR)
+    assert [(e, it) for e, it, _ in mids] == [(0, 1)]
+
+    # fresh process equivalent: auto-resume lands on (epoch 0, iter 1)
+    tr_c = Trainer(cfg_b, no_eval=True)
+    tr_c.init_state()
+    assert (tr_c.start_epoch, tr_c.start_iter) == (0, 1)
+    tr_c.train_one_epoch(0)  # skips iter 0, executes the rest
+
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"t": jax.device_get(tr_a.state["trainable"]),
+         "o": jax.device_get(tr_a.state["opt_state"])})
+    flat_c = jax.tree_util.tree_leaves_with_path(
+        {"t": jax.device_get(tr_c.state["trainable"]),
+         "o": jax.device_get(tr_c.state["opt_state"])})
+    assert len(flat_a) == len(flat_c) > 0
+    for (pa, va), (pc, vc) in zip(flat_a, flat_c):
+        assert pa == pc
+        np.testing.assert_array_equal(va, vc, err_msg=str(pa))
+
+    # evaluate.py-style restore ignores mid checkpoints (reference semantics)
+    from video_rep_learning_tpu.train.checkpoint import load_checkpoint
+    _, e0, i0 = load_checkpoint(cfg_b.LOGDIR, jax.device_get(tr_c.state),
+                                include_mid=False)
+    assert (e0, i0) == (0, 0)
+
+    # a completed-epoch save prunes the mid checkpoint and wins resume
+    from video_rep_learning_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(cfg_b.LOGDIR, jax.device_get(tr_c.state), 0)
+    assert _list_mid_checkpoints(cfg_b.LOGDIR) == []
+    tr_d = Trainer(cfg_b, no_eval=True)
+    tr_d.init_state()
+    assert (tr_d.start_epoch, tr_d.start_iter) == (1, 0)

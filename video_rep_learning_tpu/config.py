@@ -283,6 +283,13 @@ def _defaults() -> ConfigNode:
     c.LOGGING.REPORT_INTERVAL = 20
     c.CHECKPOINT = ConfigNode()
     c.CHECKPOINT.SAVE_INTERVAL = 50
+    # TPU-native addition (reference saves per-epoch only): > 0 also saves a
+    # mid-epoch checkpoint every N train iters, and auto-resume continues
+    # from the exact iteration — preemption resilience for TPU pods. The
+    # resumed trajectory is bit-identical to an uninterrupted run (per-epoch
+    # deterministic shuffle + iter-folded RNG + epoch-pure LR), tested in
+    # tests/test_train.py::test_mid_epoch_resume_exact_trajectory.
+    c.CHECKPOINT.SAVE_EVERY_N_ITERS = 0
 
     # -- parallelism (TPU-native addition; reference is DP-only) ---------
     c.PARALLEL = ConfigNode()

@@ -35,7 +35,8 @@ from ..models import build_model
 from ..ops.augment import (AugmentParams, eval_augment,
                            make_ssl_batch_augment, supervised_augment)
 from ..parallel.mesh import create_mesh, is_root_proc, replicate, shard_batch
-from .checkpoint import load_checkpoint, load_pretrained_params, save_checkpoint
+from .checkpoint import (load_checkpoint, load_pretrained_params,
+                         save_checkpoint, save_mid_checkpoint)
 from .optimizer import (learning_rate_for_epoch, make_optimizer, merge_params,
                         split_params)
 
@@ -97,6 +98,7 @@ class Trainer:
         self._ssl_augment = make_ssl_batch_augment(aug)
         self.state: Optional[Dict] = None
         self.start_epoch = 0
+        self.start_iter = 0  # > 0 after a mid-epoch (preemption) resume
         self._train_step = None
         self._val_step = None
         self._base_key = jax.random.key(cfg.RNG_SEED)
@@ -112,7 +114,7 @@ class Trainer:
         S = cfg.IMAGE_SIZE
         return jnp.zeros((BV, T, S, S, 3), jnp.float32)
 
-    def init_state(self):
+    def init_state(self, resume_mid: bool = True):
         cfg = self.cfg
         x = self._dummy_batch_videos()
         T = x.shape[1]
@@ -178,11 +180,13 @@ class Trainer:
         state = {"trainable": trainable, "frozen": frozen,
                  "batch_stats": batch_stats, "opt_state": opt_state}
 
-        restored, start_epoch = load_checkpoint(cfg.LOGDIR, state)
+        restored, start_epoch, start_iter = load_checkpoint(
+            cfg.LOGDIR, state, include_mid=resume_mid)
         if restored is not None:
             state = restored
         self.state = replicate(self.mesh, state)
         self.start_epoch = start_epoch
+        self.start_iter = start_iter
         return self.state
 
     @property
@@ -316,6 +320,14 @@ class Trainer:
             _prof.start_trace(profile_dir)
             self._profiling = True
 
+        # Mid-epoch (preemption) resume: consume the loader up to the saved
+        # iteration WITHOUT stepping — the per-epoch deterministic shuffle,
+        # the iter-folded RNG stream, and the epoch-pure LR make the resumed
+        # trajectory bit-identical to an uninterrupted run.
+        skip_until = self.start_iter if epoch == self.start_epoch else 0
+        self.start_iter = 0
+        save_n = int(getattr(cfg.CHECKPOINT, "SAVE_EVERY_N_ITERS", 0) or 0)
+
         data_size = len(self.train_loader)
         total_loss: Dict[str, float] = {}
         loss_dicts = []  # device scalars; fetched lazily so steps pipeline
@@ -323,6 +335,9 @@ class Trainer:
         tmc = 0
         t1 = time.time()
         for cur_iter, batch in enumerate(self.train_loader):
+            if cur_iter < skip_until:
+                t1 = time.time()
+                continue
             tmc += 1
             tmt[0] += time.time() - t1
             t1 = time.time()
@@ -343,6 +358,11 @@ class Trainer:
                 logger.info("iter %d, training loss: %.3f",
                             data_size * epoch + cur_iter,
                             float(loss_dict["loss"]))
+            if save_n > 0 and (cur_iter + 1) % save_n == 0 and is_root_proc():
+                # device_get synchronizes the pipeline up to this step; keep
+                # SAVE_EVERY_N_ITERS large enough to amortize in production
+                save_mid_checkpoint(cfg.LOGDIR, jax.device_get(self.state),
+                                    epoch, cur_iter + 1)
             tmt[5] += time.time() - t1
             t1 = time.time()
 
