@@ -293,3 +293,39 @@ def test_dp_fallback_on_non_divisible_batch(dp_mesh):
     sd = np.asarray(x).std(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(got), (np.asarray(x) - mu) /
                                np.sqrt(sd * sd + 1e-6), atol=1e-5)
+
+
+def test_dp_fused_crop_photometric_matches(dp_mesh):
+    """The r3 crop+photometric kernel under the DP mesh: per-shard dispatch
+    must bit-match the unsharded direct call and return data-sharded."""
+    from video_rep_learning_tpu.ops.augment import _rrc_matrix
+    from video_rep_learning_tpu.ops.photometric_pallas import (
+        _fused_crop_photometric_impl, blur_band_matrix,
+        fused_crop_photometric, IMAGENET_MEAN, IMAGENET_STD)
+
+    rng = np.random.RandomState(5)
+    BV, T, H, W, S = 8, 2, 20, 20, 16
+    videos = jnp.asarray(rng.rand(BV, T, 3, H, W), jnp.float32)
+    boxes = jnp.asarray(
+        np.stack([[2.0, 1.0, 16.0, 18.0] for _ in range(BV)], 0), jnp.float32)
+    rh = jax.vmap(lambda b: _rrc_matrix(H, S, b[2], b[0]))(boxes)
+    rw = jax.vmap(lambda b: _rrc_matrix(W, S, b[3], b[1]).T)(boxes)
+    fscal = jnp.asarray(
+        np.stack([np.array([1, 1.1, 0.9, 1.05, 0.02, 1, 0, 1], np.float32)
+                  for _ in range(BV)]))
+    orders = jnp.tile(jnp.asarray([0, 1, 2, 3], jnp.int32), (BV, 1))
+    sig = jnp.full((BV,), 0.7, jnp.float32)
+    mh = jax.vmap(lambda s_: blur_band_matrix(S, 9, s_).T)(sig)
+    mw = jax.vmap(lambda s_: blur_band_matrix(S, 5, s_))(sig)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(fused_crop_photometric)(
+            _sharded(dp_mesh, videos), _sharded(dp_mesh, rh),
+            _sharded(dp_mesh, rw), _sharded(dp_mesh, fscal),
+            _sharded(dp_mesh, orders), _sharded(dp_mesh, mh),
+            _sharded(dp_mesh, mw))
+        want = _fused_crop_photometric_impl(videos, rh, rw, fscal, orders,
+                                            mh, mw, IMAGENET_MEAN,
+                                            IMAGENET_STD, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    assert got.sharding.spec[0] == "data"
