@@ -33,4 +33,7 @@ timeout 1800 python tools/profile_step.py carl 2>/tmp/prof_carl.err | tee -a "$L
 stamp "bench (VRL_S2D_STEM=1)"
 VRL_S2D_STEM=1 timeout 1800 python bench.py 2>/tmp/bench_s2d.err | tee -a "$LOG"
 
+stamp "bench (VRL_FUSED_VIT_BLOCK=1, reworked all-heads half-block)"
+VRL_FUSED_VIT_BLOCK=1 timeout 1800 python bench.py 2>/tmp/bench_fvb.err | tee -a "$LOG"
+
 stamp "done"

@@ -1,14 +1,23 @@
 """Fused ViT attention half-block (Pallas, TPU).
 
-Computes  y = x + proj(MHA(LayerNorm(x)))  in one kernel per (image, head
-slab): the LN output, the packed qkv tensor, and the attention scores never
-touch HBM. Grid (B, H/hp) with the x block and fp32 accumulator constant
-across the slab axis; per-slab weight columns stream in as (D, 128) blocks.
+Computes  y = x + proj(MHA(LayerNorm(x)))  in ONE program per image: LN,
+the full-width qkv projection (into VMEM scratch), all attention heads, and
+the full-width proj + residual — the LN output, the packed qkv tensor, the
+attention scores, and the attention output never touch HBM.
 
-This replaces, per ViT block on the frozen-backbone hot path: the LN kernel,
-the qkv projection, the packed attention kernel, and the proj matmul —
-saving their intermediate HBM round-trips and launch overheads
-(`tools/profile_step.py` breakdown).
+History (tools/bench_packed_attn.py + CLAUDE.md perf notes): the r2 slab
+version (grid (B, H/hp), per-slab 128-wide proj, classic softmax) measured
+~2% SLOWER than separate kernels — the per-image serial LN+qkv section
+stalled slab pipelining and narrow per-slab matmuls lose to full-width.
+This rework applies the r3 packed-attention winners to the fused form:
+ALL heads in one program (more independent MXU/VPU chains to overlap),
+max-free exp2 softmax (exact for |logits| <= 76 — see
+`attention_pallas._NOMAX_CLAMP`; VRL_ATTN_MAXSUB=1 restores classic), and
+full-width qkv/proj matmuls with the attention output concatenated in a
+VMEM scratch. Still OPT-IN via VRL_FUSED_VIT_BLOCK=1 pending the on-chip
+A/B vs the default (ln_matmul qkv kernel + packed attention + XLA proj),
+which it can only beat through the saved qkv/attn-out HBM round-trips
+(~9.6 MB/frame/block) and launch overheads — the MXU work is identical.
 
 Backward (finetuned-ViT-block configs only — the hot caller is frozen under
 stop_gradient) is the XLA vjp of the reference composition.
@@ -24,103 +33,92 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_pallas import _packed_heads_per_program
+from .attention_pallas import (_LOG2E, _NOMAX_CLAMP, _NOMAX_FLOOR,
+                               _packed_heads_per_program, _use_maxsub)
 
 _LANES = 128
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-            o_ref, qkv_scratch, acc_ref, *, sm_scale, hp, dh, nG, eps):
-    g = pl.program_id(1)
+            o_ref, qkv_scratch, attn_scratch, *, sm_scale, hp, dh, groups,
+            eps, maxsub):
     x = x_ref[0]  # (N, D)
     D = x.shape[1]
-    w = hp * dh
 
-    @pl.when(g == 0)
-    def _():
-        # LN + FULL-WIDTH qkv once per image (the 3D-wide matmul keeps the
-        # MXU fully fed; per-slab 128-wide projections measured slower)
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=1, keepdims=True)
-        xc = xf - mu
-        var = jnp.mean(xc * xc, axis=1, keepdims=True)
-        xn = (xc * jax.lax.rsqrt(var + eps) * lns_ref[0].astype(jnp.float32)
-              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
-        qkv = jax.lax.dot(xn, wqkv_ref[...],
-                          preferred_element_type=jnp.float32)
-        qkv_scratch[...] = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(
-            qkv_scratch.dtype)
+    # LN (fp32 stats) + FULL-WIDTH qkv once per image — the 3D-wide matmul
+    # keeps the MXU fully fed (per-slab 128-wide projections measured slower)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv = jax.lax.dot(xn, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv_scratch[...] = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(
+        qkv_scratch.dtype)
 
-    off = pl.multiple_of(g * w, w)
-    qs = qkv_scratch[:, pl.ds(off, w)]
-    ks = qkv_scratch[:, pl.ds(D + off, w)]
-    vs = qkv_scratch[:, pl.ds(2 * D + off, w)]
+    scale = sm_scale if maxsub else sm_scale * _LOG2E
+    w = hp * dh  # 128-aligned lane slab holding `hp` heads
+    for g in range(groups):
+        off = pl.multiple_of(g * w, _LANES)
+        qs = qkv_scratch[:, pl.ds(off, w)]
+        ks = qkv_scratch[:, pl.ds(D + off, w)]
+        vs = qkv_scratch[:, pl.ds(2 * D + off, w)]
+        outs = []
+        for t in range(hp):  # static unroll: value-level head split
+            q = qs[:, t * dh:(t + 1) * dh]
+            k = ks[:, t * dh:(t + 1) * dh]
+            v = vs[:, t * dh:(t + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (N, N) fp32
+            if maxsub:
+                p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+            else:
+                p = jnp.exp2(jnp.clip(s, _NOMAX_FLOOR, _NOMAX_CLAMP))
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            outs.append((o * (1.0 / l)).astype(attn_scratch.dtype))
+        attn_scratch[:, pl.ds(off, w)] = (
+            outs[0] if hp == 1 else jnp.concatenate(outs, axis=1))
 
-    outs = []
-    for t in range(hp):  # static unroll over the slab's heads
-        q = qs[:, t * dh:(t + 1) * dh]
-        k = ks[:, t * dh:(t + 1) * dh]
-        v = vs[:, t * dh:(t + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (N, N) fp32
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32) / l
-        outs.append(o.astype(x.dtype))
-    o_slab = outs[0] if hp == 1 else jnp.concatenate(outs, axis=1)  # (N, w)
-
-    part = jax.lax.dot(o_slab, wp_ref[...],
-                       preferred_element_type=jnp.float32)  # (N, D)
-
-    @pl.when(g == 0)
-    def _():
-        acc_ref[...] = (x.astype(jnp.float32)
-                        + bp_ref[0].astype(jnp.float32) + part)
-
-    @pl.when(g > 0)
-    def _():
-        acc_ref[...] += part
-
-    @pl.when(g == nG - 1)
-    def _():
-        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+    part = jax.lax.dot(attn_scratch[...], wp_ref[...],
+                       preferred_element_type=jnp.float32)  # (N, D) fp32
+    o_ref[0] = (xf + bp_ref[0].astype(jnp.float32) + part).astype(o_ref.dtype)
 
 
 def _forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, eps):
     B, N, D = x.shape
     dh = D // num_heads
     hp = _packed_heads_per_program(num_heads, dh)
-    w = hp * dh
-    nG = num_heads // hp
     sm_scale = 1.0 / math.sqrt(dh)
 
     cast = x.dtype
     return pl.pallas_call(
-        functools.partial(_kernel, sm_scale=sm_scale, hp=hp, dh=dh, nG=nG,
-                          eps=eps),
+        functools.partial(_kernel, sm_scale=sm_scale, hp=hp, dh=dh,
+                          groups=num_heads // hp, eps=eps,
+                          maxsub=_use_maxsub()),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(B, nG),
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, N, D), lambda b, g: (b, 0, 0)),
-                pl.BlockSpec((1, D), lambda b, g: (0, 0)),
-                pl.BlockSpec((1, D), lambda b, g: (0, 0)),
-                pl.BlockSpec((D, 3 * D), lambda b, g: (0, 0)),
-                pl.BlockSpec((1, 3 * D), lambda b, g: (0, 0)),
-                pl.BlockSpec((w, D), lambda b, g: (g, 0)),
-                pl.BlockSpec((1, D), lambda b, g: (0, 0)),
+                pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, D), lambda b: (0, 0)),
+                pl.BlockSpec((1, D), lambda b: (0, 0)),
+                pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
+                pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+                pl.BlockSpec((D, D), lambda b: (0, 0)),
+                pl.BlockSpec((1, D), lambda b: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, N, D), lambda b, g: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
             scratch_shapes=[pltpu.VMEM((N, 3 * D), cast),
-                            pltpu.VMEM((N, D), jnp.float32)],
+                            pltpu.VMEM((N, D), cast)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            # resident wqkv + qkv scratch + fp32 accumulator + score tile
+            dimension_semantics=("parallel",),
+            # resident wqkv/wproj + qkv/attn scratch + live fp32 score tiles
             # exceed the compiler's conservative 16 MB default scoped limit
             vmem_limit_bytes=32 * 1024 * 1024),
     )(x, ln_scale[None].astype(jnp.float32), ln_bias[None].astype(jnp.float32),
@@ -182,15 +180,17 @@ vit_attention_block.defvjp(_fwd, _bwd)
 
 def vit_block_eligible(num_heads: int, dh: int, N: int, D: int,
                        itemsize: int) -> bool:
-    """VMEM budget: x block (double-buffered) + fp32 accumulator + score
-    tile + xn + slab weights."""
+    """VMEM budget for the one-program-per-image schedule: x (double
+    buffered) + out + qkv/attn scratch + resident weights + ~4 live fp32
+    score tiles (the all-heads schedule keeps several head pipelines in
+    flight — same accounting as `packed_vit_eligible`)."""
     if _packed_heads_per_program(num_heads, dh) is None:
         return False
     Np = -(-N // 8) * 8
-    need = (2 * Np * D * itemsize      # x in (double buffered)
-            + Np * D * itemsize        # out
-            + 4 * Np * D               # fp32 accumulator scratch
-            + Np * D * itemsize        # xn
-            + 4 * Np * -(-Np // _LANES) * _LANES  # score tile
-            + 8 * D * _LANES * itemsize)          # weight slabs (buffered)
-    return need <= 14 * 1024 * 1024
+    need = (2 * Np * D * itemsize          # x in (double buffered)
+            + Np * D * itemsize            # out
+            + Np * 3 * D * itemsize        # qkv scratch
+            + Np * D * itemsize            # attn-out scratch
+            + 4 * Np * -(-Np // _LANES) * _LANES * 4  # live score tiles
+            + 4 * D * D * itemsize)        # wqkv + wproj resident
+    return need <= 28 * 1024 * 1024
