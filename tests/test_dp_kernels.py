@@ -146,6 +146,50 @@ def test_dp_packed_attention_matches(dp_mesh):
     assert got.sharding.spec[0] == "data"
 
 
+def test_dp_fused_vit_block_matches(dp_mesh, monkeypatch):
+    """DP dispatch semantics of the fused ViT half-block entry point.
+
+    This kernel's interpret-mode body DEADLOCKS under shard_map on the
+    1-core host (all 8 virtual-device threads block in the interpret
+    machinery's `_allocate_buffer` io_callback — the wedge class CLAUDE.md
+    documents), so the pallas body is swapped for its XLA oracle
+    (`_reference`, same signature; the body itself is parity-tested in
+    test_pallas.py) and the routing runs compiled: shard_map over 'data',
+    sharded output, psum'd replicated-weight cotangents."""
+    from video_rep_learning_tpu.ops import vit_block_pallas as vbp
+
+    monkeypatch.setattr(vbp, "_forward", vbp._reference)
+
+    rng = np.random.RandomState(7)
+    B, N, Hh, dh = 8, 24, 2, 64  # hp=2 -> one 128-wide lane slab
+    D = Hh * dh
+    x = jnp.asarray(rng.randn(B, N, D) * 0.2, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.randn(D), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.randn(D), jnp.float32)
+    wqkv = jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * D) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.randn(D) * 0.05, jnp.float32)
+    w = (ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+
+    got = jax.jit(lambda *a: vbp.vit_attention_block(*a, Hh))(
+        _sharded(dp_mesh, x), *w)
+    want = vbp._reference(x, *w, Hh, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert got.sharding.spec[0] == "data"
+
+    # replicated-weight cotangents must come back psum'd across shards
+    g = jax.jit(jax.grad(
+        lambda *a: jnp.sum(vbp.vit_attention_block(*a, Hh) ** 2),
+        argnums=(0, 3, 5)))(_sharded(dp_mesh, x), *w)
+    gr = jax.grad(
+        lambda *a: jnp.sum(vbp._reference(*a, Hh, 1e-6) ** 2),
+        argnums=(0, 3, 5))(x, *w)
+    for a, r in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-3, rtol=1e-4)
+
+
 def test_dp_fused_photometric_matches(dp_mesh):
     from video_rep_learning_tpu.ops.photometric_pallas import (
         _fused_photometric_impl, blur_band_matrix, fused_photometric,

@@ -207,18 +207,19 @@ class ViTBlock(nn.Module):
         head_dim = self.dim // self.num_heads
         itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
         if (_jax.default_backend() == "tpu"
-                and tensor_context() is None
-                and _os.environ.get("VRL_FUSED_VIT_BLOCK", "0") == "1"
+                and tensor_context() is None and not self.quant
+                and _os.environ.get("VRL_FUSED_VIT_BLOCK", "auto") != "0"
                 and _os.environ.get("VRL_FLASH_ATTENTION", "auto") != "0"
                 and vit_block_eligible(self.num_heads, head_dim, x.shape[1],
                                        self.dim, itemsize)):
             # fully fused attention half-block: LN1 + qkv + attention + proj
             # + residual in one Pallas kernel (ops/vit_block_pallas.py);
-            # params share the exact module-path tree. Measured ~2% SLOWER
-            # than the separate packed-attention + XLA-matmul path on v5e
-            # (the serial per-image LN+qkv section stalls slab pipelining),
-            # so it is OPT-IN via VRL_FUSED_VIT_BLOCK=1 pending a pipelined
-            # rework.
+            # params share the exact module-path tree. The all-heads-per-
+            # image rework (full-width qkv/proj scratch matmuls, max-free
+            # softmax) measures +2% MVF step throughput over the separate
+            # LN+qkv / packed-attention / XLA-proj path on v5e (5.64 vs 5.51
+            # clips/s, repeated A/B) — DEFAULT on TPU; VRL_FUSED_VIT_BLOCK=0
+            # restores the separate-kernel path.
             ln_s, ln_b = _LNParams(name="norm1")(self.dim)
             kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
             xb = x.astype(self.dtype) if self.dtype else x
