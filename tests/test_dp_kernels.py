@@ -106,6 +106,39 @@ def test_dp_ln_matmul_matches_and_shards(dp_mesh):
                                    atol=1e-3, rtol=1e-4)
 
 
+def test_dp_ln_mlp_block_matches_and_shards(dp_mesh):
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
+        _ln_mlp_block_vjp, ln_mlp_block)
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(8, 8, 128), jnp.float32)
+    ls = jnp.asarray(1 + 0.1 * rng.randn(128), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.randn(128), jnp.float32)
+    w1 = jnp.asarray(rng.randn(128, 256) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(256) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(256, 128) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(128) * 0.05, jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(lambda *a: ln_mlp_block(*a, "gelu_exact"))(
+            _sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
+        want = _ln_mlp_block_vjp(x, ls, lb, w1, b1, w2, b2, "gelu_exact")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert got.sharding.spec[0] == "data"
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.jit(jax.grad(
+            lambda *a: jnp.sum(ln_mlp_block(*a, "gelu_exact") ** 2),
+            argnums=(0, 3, 5)))(_sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
+        gr = jax.grad(
+            lambda *a: jnp.sum(
+                _ln_mlp_block_vjp(*a, "gelu_exact") ** 2),
+            argnums=(0, 3, 5))(x, ls, lb, w1, b1, w2, b2)
+    for a, r in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-3, rtol=1e-4)
+
+
 def test_dp_flash_attention_matches(dp_mesh):
     from video_rep_learning_tpu.ops.attention_pallas import (
         _flash_attention_vjp, flash_attention)

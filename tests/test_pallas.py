@@ -364,6 +364,99 @@ def test_ln_matmul_bias_act_matches_reference(activation):
                                    atol=2e-4)
 
 
+@pytest.mark.parametrize("activation", ["gelu_exact", "gelu_tanh"])
+def test_ln_mlp_block_matches_reference(activation):
+    """x + act(LN(x) @ w1 + b1) @ w2 + b2 in one program (the 4D stream
+    never leaves VMEM) must match the staged composition."""
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
+        _reference_mlp, ln_mlp_block)
+
+    rng = np.random.RandomState(13)
+    B, N, K, F = 2, 150, 128, 512
+    x = jnp.asarray(rng.randn(B, N, K) * 2.0 + 0.5, jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(K), jnp.float32)
+    be = jnp.asarray(0.1 * rng.randn(K), jnp.float32)
+    w1 = jnp.asarray(rng.randn(K, F) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(F) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(F, K) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(K) * 0.05, jnp.float32)
+    got = ln_mlp_block(x, g, be, w1, b1, w2, b2, activation)
+    want = _reference_mlp(x, g, be, w1, b1, w2, b2, activation, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    grads = jax.grad(
+        lambda *a: jnp.sum(ln_mlp_block(*a, activation) ** 2),
+        argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    gref = jax.grad(
+        lambda *a: jnp.sum(_reference_mlp(*a, activation, 1e-6) ** 2),
+        argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    for a, c in zip(grads, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4,
+                                   atol=3e-4)
+
+
+def test_ln_mlp_block_matches_module_composition():
+    """The fused MLP's math must track the module path (LN module + two
+    Dense calls + residual) — only residual-add rounding may differ."""
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
+        _reference_ln, ln_mlp_block)
+
+    rng = np.random.RandomState(14)
+    B, N, K, F = 1, 130, 128, 512
+    x = jnp.asarray(rng.randn(B, N, K), jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(K), jnp.float32)
+    be = jnp.asarray(0.1 * rng.randn(K), jnp.float32)
+    w1 = jnp.asarray(rng.randn(K, F) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(F) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(F, K) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(K) * 0.05, jnp.float32)
+    got = ln_mlp_block(x, g, be, w1, b1, w2, b2, "gelu_exact")
+    y = _reference_ln(x, g, be, w1, b1, "gelu_exact", 1e-6)
+    want = x + (jnp.einsum("bnf,fk->bnk", y, w2,
+                           preferred_element_type=jnp.float32) + b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_mlp_block_eligible_vit_b_shapes():
+    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
+        _LANES, _choose_bn_mlp, mlp_block_eligible)
+
+    # ViT-B/8 @224 under AMP: 785 tokens, D=768, 4D=3072, bf16
+    assert mlp_block_eligible(785, 768, 3072, 2)
+    bn = _choose_bn_mlp(785, 768, 3072, 2)
+    assert bn % _LANES == 0 and 3072 % bn == 0
+    # fp32 at the same shape blows the VMEM budget -> stays on staged path
+    assert not mlp_block_eligible(785, 768, 3072, 4)
+
+
+def test_vit_block_fused_mlp_matches_module_path(monkeypatch):
+    """VRL_FUSED_MLP=1 must keep the module path's exact param tree and
+    outputs (checkpoint compatibility)."""
+    import jax as _jax
+
+    from video_rep_learning_tpu.models.vit import ViTBlock
+
+    rng = np.random.RandomState(15)
+    B, N, dim, heads = 2, 130, 128, 2
+    x = jnp.asarray(rng.randn(B, N, dim), jnp.float32)
+    block = ViTBlock(dim=dim, num_heads=heads)
+    params = block.init(jax.random.key(0), x)
+    want = block.apply(params, x)
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("VRL_FUSED_MLP", "1")
+    with pltpu.force_tpu_interpret_mode():
+        params_fused = block.init(jax.random.key(0), x)
+        got = block.apply(params, x)
+
+    assert (jax.tree_util.tree_structure(params_fused)
+            == jax.tree_util.tree_structure(params))
+    for pa, pb in zip(jax.tree_util.tree_leaves(params_fused),
+                      jax.tree_util.tree_leaves(params)):
+        assert pa.shape == pb.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
 def test_vit_block_fused_ln_paths_match_module_path(monkeypatch):
     """The TPU fused LN1+qkv / LN2+fc1 ViT block paths must share the module
     path's exact param tree (checkpoint compatibility) and outputs."""

@@ -36,4 +36,7 @@ VRL_S2D_STEM=1 timeout 1800 python bench.py 2>/tmp/bench_s2d.err | tee -a "$LOG"
 stamp "bench (VRL_FUSED_VIT_BLOCK=1, reworked all-heads half-block)"
 VRL_FUSED_VIT_BLOCK=1 timeout 1800 python bench.py 2>/tmp/bench_fvb.err | tee -a "$LOG"
 
+stamp "bench (VRL_FUSED_MLP=1, fully fused LN2+fc1+GELU+fc2+residual)"
+VRL_FUSED_MLP=1 timeout 1800 python bench.py 2>/tmp/bench_fmlp.err | tee -a "$LOG"
+
 stamp "done"

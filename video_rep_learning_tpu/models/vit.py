@@ -278,8 +278,10 @@ class ViTBlock(nn.Module):
         d_ff = int(self.dim * self.mlp_ratio)
 
         from ..ops.matmul_gelu_pallas import (ln_matmul_bias_act,
+                                              ln_mlp_block,
                                               matmul_bias_gelu,
-                                              matmul_gelu_eligible)
+                                              matmul_gelu_eligible,
+                                              mlp_block_eligible)
 
         if self.quant:
             # W8A8 int8 MXU matmuls; the dequant + bias + GELU chain fuses
@@ -300,6 +302,24 @@ class ViTBlock(nn.Module):
         # branches must stay on the XLA path (same gate the attention
         # branches apply)
         sharded = tensor_context() is not None
+        if (_jax.default_backend() == "tpu" and not sharded
+                and not self.quant
+                and _os.environ.get("VRL_FUSED_MLP", "0") == "1"
+                and mlp_block_eligible(x.shape[1], self.dim, d_ff,
+                                       itemsize)):
+            # whole MLP half-block in one Pallas program: LN2 + fc1 + GELU +
+            # fc2 + residual — the (N, 4D) GELU stream stays in VMEM instead
+            # of round-tripping HBM between the fc1 kernel and XLA's fc2
+            # (~770 MB each way per block on MVF). Off by default until the
+            # on-chip A/B (tools/onchip_agenda.sh) proves it; params share
+            # the module path's exact tree.
+            ln2_s, ln2_b = _LNParams(name="norm2")(self.dim)
+            kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
+            kfc2, bfc2 = _RawDenseParams(d_ff, self.dim, name="mlp_fc2")()
+            return ln_mlp_block(
+                x.astype(self.dtype) if self.dtype else x, ln2_s, ln2_b,
+                kfc1, bfc1, kfc2, bfc2,
+                "gelu_tanh" if approx else "gelu_exact")
         if (_jax.default_backend() == "tpu" and not sharded
                 and _os.environ.get("VRL_FUSED_GELU_MM", "auto") != "0"
                 and _os.environ.get("VRL_FUSED_LN_MM", "auto") != "0"

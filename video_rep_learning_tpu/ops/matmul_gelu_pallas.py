@@ -288,3 +288,142 @@ def _ln_mm_bwd(activation, eps, res, g):
 
 
 _ln_matmul_bias_act_vjp.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused ViT MLP half-block: x + GELU(LN(x) @ W1 + b1) @ W2 + b2
+#
+# The LN2+fc1+GELU kernel above still WRITES its (N, 4D) activation to HBM
+# and XLA's fc2 reads it straight back: on the MVF step that round-trip is
+# ~770 MB per block each way (tokens x 3072 bf16). Folding fc2 + the
+# residual into the same program keeps the 4D stream entirely in VMEM —
+# fc1 column tiles are consumed by fc2 row tiles immediately, partial fc2
+# products accumulate in an fp32 (N, D) scratch, and the residual add reuses
+# the x block already resident for the LN prologue. Mirrors the timm ViT MLP
+# semantics used by the reference backbones (`transformer.py:43-54`).
+# Gated by VRL_FUSED_MLP (default off until the on-chip A/B — see
+# tools/onchip_agenda.sh).
+# ---------------------------------------------------------------------------
+
+
+def _choose_bn_mlp(N: int, K: int, F: int, itemsize: int) -> int:
+    """Widest fc1-column (= fc2-row) tile fitting the VMEM budget: x + xn +
+    out + fp32 acc are tile-independent; W1/W2 tiles double-buffer; the fp32
+    fc1 accumulator and its cast are transient per tile."""
+    def est(bn):
+        return (3 * N * K * itemsize + N * K * 4
+                + 4 * K * bn * itemsize
+                + N * bn * 4 + N * bn * itemsize)
+
+    bn = F
+    while (bn // 2) % _LANES == 0 and est(bn) > 15 * 1024 * 1024:
+        bn //= 2
+    return bn
+
+
+def mlp_block_eligible(N: int, K: int, F: int, itemsize: int) -> bool:
+    if K % _LANES or F % _LANES:
+        return False
+    bn = _choose_bn_mlp(N, K, F, itemsize)
+    return (3 * N * K * itemsize + N * K * 4 + 4 * K * bn * itemsize
+            + N * bn * 4 + N * bn * itemsize) <= 15 * 1024 * 1024
+
+
+def _kernel_mlp(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                xn_ref, acc_ref, *, activation, eps, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xn_ref[...] = _ln_rows(x_ref[0].astype(jnp.float32), g_ref[0],
+                               be_ref[0], eps, x_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    y = jax.lax.dot(xn_ref[...], w1_ref[...],
+                    preferred_element_type=jnp.float32)
+    y = _apply_act(y + b1_ref[0].astype(jnp.float32), activation, x_ref.dtype)
+    # round to the compute dtype exactly like the module path (GELU output is
+    # bf16 under AMP before fc2 consumes it)
+    acc_ref[...] += jax.lax.dot(y.astype(x_ref.dtype), w2_ref[...],
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] + b2_ref[0].astype(jnp.float32)
+                    + x_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _forward_mlp(x, g, be, w1, b1, w2, b2, activation, eps):
+    B, N, K = x.shape
+    F = w1.shape[1]
+    bn = _choose_bn_mlp(N, K, F, x.dtype.itemsize)
+    nj = F // bn
+    return pl.pallas_call(
+        functools.partial(_kernel_mlp, activation=activation, eps=eps,
+                          nj=nj),
+        out_shape=jax.ShapeDtypeStruct((B, N, K), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, nj),  # image outer: LN/acc scratch live per image
+            in_specs=[
+                pl.BlockSpec((1, N, K), lambda b, j: (b, 0, 0)),
+                pl.BlockSpec((1, K), lambda b, j: (0, 0)),
+                pl.BlockSpec((1, K), lambda b, j: (0, 0)),
+                pl.BlockSpec((K, bn), lambda b, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda b, j: (0, j)),
+                pl.BlockSpec((bn, K), lambda b, j: (j, 0)),
+                pl.BlockSpec((1, K), lambda b, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, N, K), lambda b, j: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((N, K), x.dtype),
+                            pltpu.VMEM((N, K), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=28 * 1024 * 1024),
+    )(x, g[None], be[None], w1.astype(x.dtype), b1[None],
+      w2.astype(x.dtype), b2[None])
+
+
+def _reference_mlp(x, g, be, w1, b1, w2, b2, activation, eps):
+    y = _reference_ln(x, g, be, w1, b1, activation, eps)
+    z = (jnp.einsum("bnf,fk->bnk", y, w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32) + x.astype(jnp.float32))
+    return z.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp_block_vjp(x, g, be, w1, b1, w2, b2, activation="gelu_exact",
+                      eps=1e-6):
+    return _forward_mlp(x, g, be, w1, b1, w2, b2, activation, eps)
+
+
+def ln_mlp_block(x, g, be, w1, b1, w2, b2, activation="gelu_exact",
+                 eps=1e-6):
+    """x + act(LayerNorm(x) @ w1 + b1) @ w2 + b2 in ONE Pallas program per
+    image: the (N, 4D) GELU stream never touches HBM. x (B, N, K); w1
+    (K, F); w2 (F, K). Runs per batch shard under a multi-device pure-DP
+    mesh (see `parallel.sharding.dp_kernel_call`)."""
+    from ..parallel.sharding import dp_kernel_call
+
+    return dp_kernel_call(
+        lambda a, ls, lb, k1, c1, k2, c2: _ln_mlp_block_vjp(
+            a, ls, lb, k1, c1, k2, c2, activation, eps),
+        (x,), (g, be, w1, b1, w2, b2))
+
+
+def _mlp_fwd(x, g, be, w1, b1, w2, b2, activation, eps):
+    return (_forward_mlp(x, g, be, w1, b1, w2, b2, activation, eps),
+            (x, g, be, w1, b1, w2, b2))
+
+
+def _mlp_bwd(activation, eps, res, ct):
+    x, g, be, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_mlp(*a, activation, eps), x, g, be, w1, b1,
+        w2, b2)
+    return vjp(ct)
+
+
+_ln_mlp_block_vjp.defvjp(_mlp_fwd, _mlp_bwd)
