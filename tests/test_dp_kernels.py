@@ -106,9 +106,19 @@ def test_dp_ln_matmul_matches_and_shards(dp_mesh):
                                    atol=1e-3, rtol=1e-4)
 
 
-def test_dp_ln_mlp_block_matches_and_shards(dp_mesh):
-    from video_rep_learning_tpu.ops.matmul_gelu_pallas import (
-        _ln_mlp_block_vjp, ln_mlp_block)
+def test_dp_ln_mlp_block_matches_and_shards(dp_mesh, monkeypatch):
+    """DP dispatch semantics of the fused MLP half-block entry point.
+
+    Interpret-mode pallas with TWO VMEM scratch buffers under shard_map
+    wedges in `_allocate_buffer` even at tiny shapes (ADVICE r3 high — the
+    same io_callback-contention class CLAUDE.md documents for the fused ViT
+    half-block), so the pallas body is swapped for its XLA oracle
+    (`_reference_mlp`, same signature; the body itself is parity-tested in
+    test_pallas.py) and the routing runs compiled: shard_map over 'data',
+    sharded output, psum'd replicated-weight cotangents."""
+    from video_rep_learning_tpu.ops import matmul_gelu_pallas as mgp
+
+    monkeypatch.setattr(mgp, "_forward_mlp", mgp._reference_mlp)
 
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.randn(8, 8, 128), jnp.float32)
@@ -119,21 +129,19 @@ def test_dp_ln_mlp_block_matches_and_shards(dp_mesh):
     w2 = jnp.asarray(rng.randn(256, 128) * 0.05, jnp.float32)
     b2 = jnp.asarray(rng.randn(128) * 0.05, jnp.float32)
 
-    with pltpu.force_tpu_interpret_mode():
-        got = jax.jit(lambda *a: ln_mlp_block(*a, "gelu_exact"))(
-            _sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
-        want = _ln_mlp_block_vjp(x, ls, lb, w1, b1, w2, b2, "gelu_exact")
+    got = jax.jit(lambda *a: mgp.ln_mlp_block(*a, "gelu_exact"))(
+        _sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
+    want = mgp._reference_mlp(x, ls, lb, w1, b1, w2, b2, "gelu_exact", 1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     assert got.sharding.spec[0] == "data"
 
-    with pltpu.force_tpu_interpret_mode():
-        g = jax.jit(jax.grad(
-            lambda *a: jnp.sum(ln_mlp_block(*a, "gelu_exact") ** 2),
-            argnums=(0, 3, 5)))(_sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
-        gr = jax.grad(
-            lambda *a: jnp.sum(
-                _ln_mlp_block_vjp(*a, "gelu_exact") ** 2),
-            argnums=(0, 3, 5))(x, ls, lb, w1, b1, w2, b2)
+    g = jax.jit(jax.grad(
+        lambda *a: jnp.sum(mgp.ln_mlp_block(*a, "gelu_exact") ** 2),
+        argnums=(0, 3, 5)))(_sharded(dp_mesh, x), ls, lb, w1, b1, w2, b2)
+    gr = jax.grad(
+        lambda *a: jnp.sum(
+            mgp._reference_mlp(*a, "gelu_exact", 1e-6) ** 2),
+        argnums=(0, 3, 5))(x, ls, lb, w1, b1, w2, b2)
     for a, r in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=1e-3, rtol=1e-4)

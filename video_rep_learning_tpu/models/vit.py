@@ -303,7 +303,6 @@ class ViTBlock(nn.Module):
         # branches apply)
         sharded = tensor_context() is not None
         if (_jax.default_backend() == "tpu" and not sharded
-                and not self.quant
                 and _os.environ.get("VRL_FUSED_MLP", "0") == "1"
                 and mlp_block_eligible(x.shape[1], self.dim, d_ff,
                                        itemsize)):

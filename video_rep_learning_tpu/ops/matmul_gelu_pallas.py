@@ -306,17 +306,21 @@ _ln_matmul_bias_act_vjp.defvjp(_ln_mm_fwd, _ln_mm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _choose_bn_mlp(N: int, K: int, F: int, itemsize: int) -> int:
-    """Widest fc1-column (= fc2-row) tile fitting the VMEM budget: x + xn +
-    out + fp32 acc are tile-independent; W1/W2 tiles double-buffer; the fp32
-    fc1 accumulator and its cast are transient per tile."""
-    def est(bn):
-        return (3 * N * K * itemsize + N * K * 4
-                + 4 * K * bn * itemsize
-                + N * bn * 4 + N * bn * itemsize)
+def _mlp_vmem_est(N: int, K: int, bn: int, itemsize: int) -> int:
+    """VMEM bytes for one fused-MLP program at fc1-column tile width bn:
+    x + xn + out + fp32 acc are tile-independent; W1/W2 tiles double-buffer;
+    the fp32 fc1 accumulator and its cast are transient per tile. Shared by
+    the tile chooser and the eligibility gate so they can't diverge."""
+    return (3 * N * K * itemsize + N * K * 4
+            + 4 * K * bn * itemsize
+            + N * bn * 4 + N * bn * itemsize)
 
+
+def _choose_bn_mlp(N: int, K: int, F: int, itemsize: int) -> int:
+    """Widest fc1-column (= fc2-row) tile fitting the VMEM budget."""
     bn = F
-    while (bn // 2) % _LANES == 0 and est(bn) > 15 * 1024 * 1024:
+    while (bn // 2) % _LANES == 0 and (
+            _mlp_vmem_est(N, K, bn, itemsize) > 15 * 1024 * 1024):
         bn //= 2
     return bn
 
@@ -325,8 +329,7 @@ def mlp_block_eligible(N: int, K: int, F: int, itemsize: int) -> bool:
     if K % _LANES or F % _LANES:
         return False
     bn = _choose_bn_mlp(N, K, F, itemsize)
-    return (3 * N * K * itemsize + N * K * 4 + 4 * K * bn * itemsize
-            + N * bn * 4 + N * bn * itemsize) <= 15 * 1024 * 1024
+    return _mlp_vmem_est(N, K, bn, itemsize) <= 15 * 1024 * 1024
 
 
 def _kernel_mlp(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
