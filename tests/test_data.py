@@ -225,3 +225,127 @@ def test_construct_dataloader_factory(synth_dir):
     assert len(emb_loaders) == 1
     batch = next(iter(loader))
     assert batch["videos"].ndim == 6
+
+
+# ---------------------------------------------------------------------------
+# decoded-frame RAM cache (data/cache.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def synth_mp4_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pouring_mp4"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_data.py"),
+         "--out", out, "--num_train", "4", "--num_val", "2",
+         "--min_len", "30", "--max_len", "50", "--size", "48",
+         "--format", "mp4"],
+        check=True, cwd=REPO)
+    return out
+
+
+@pytest.fixture
+def fresh_cache():
+    from video_rep_learning_tpu.data.cache import reset_decode_cache
+
+    reset_decode_cache()
+    yield
+    reset_decode_cache()
+
+
+def test_decode_cache_bit_identical(synth_mp4_dir, fresh_cache, monkeypatch):
+    """The cache's slice-of-full-decode must be bit-identical to the ranged
+    decode the reference path performs — including EOF overrun padding (the
+    admission contract in data/cache.py)."""
+    from video_rep_learning_tpu.data.cache import (get_decode_cache,
+                                                   range_from_full)
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.data.decode import VideoReader
+
+    cfg = _small_cfg(synth_mp4_dir)
+    ds = Pouring(cfg, "train")
+    entry = ds.entries[0]
+    path = ds._video_path(entry)
+    n = int(entry["seq_len"])
+
+    r = VideoReader(path)
+    try:
+        ranged = r.decode_range(5, min(25, n))
+        overrun = r.decode_range(n - 3, n + 4)  # pads with last frame
+        full = r.read_all()
+    finally:
+        r.close()
+    np.testing.assert_array_equal(range_from_full(full, 5, min(25, n)), ranged)
+    np.testing.assert_array_equal(range_from_full(full, n - 3, n + 4), overrun)
+
+    # the dataset _decode path serves identical bytes with the cache on
+    monkeypatch.setenv("VRL_DECODE_CACHE_MB", "64")
+    got = ds._decode(entry, 5, min(25, n))
+    np.testing.assert_array_equal(got, ranged)
+    cache = get_decode_cache()
+    assert cache is not None and cache.stats()["videos"] == 1
+    got2 = ds._decode(entry, 5, min(25, n))  # second access: pure slice
+    np.testing.assert_array_equal(got2, ranged)
+    assert cache.stats()["hits"] >= 1
+
+
+def test_decode_cache_items_identical_and_budget(synth_mp4_dir, fresh_cache,
+                                                 monkeypatch):
+    """SSL items are bit-identical with the cache on vs off; an undersized
+    budget rejects videos up front (estimate admission) and falls back to
+    ranged decodes without corrupting items."""
+    from video_rep_learning_tpu.data.cache import (get_decode_cache,
+                                                   reset_decode_cache)
+    from video_rep_learning_tpu.data.datasets import Pouring
+
+    cfg = _small_cfg(synth_mp4_dir)
+    ds = Pouring(cfg, "train")
+
+    monkeypatch.delenv("VRL_DECODE_CACHE_MB", raising=False)
+    base = [ds.get_ssl_item(np.random.RandomState(7), i) for i in range(3)]
+
+    monkeypatch.setenv("VRL_DECODE_CACHE_MB", "64")
+    cached = [ds.get_ssl_item(np.random.RandomState(7), i) for i in range(3)]
+    for a, b in zip(base, cached):
+        for k in ("videos", "labels", "chosen_steps", "video_masks"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert get_decode_cache().stats()["videos"] == 3
+
+    reset_decode_cache()
+    monkeypatch.setenv("VRL_DECODE_CACHE_MB", "0.05")  # << one decoded video
+    tiny = [ds.get_ssl_item(np.random.RandomState(7), i) for i in range(3)]
+    for a, b in zip(base, tiny):
+        np.testing.assert_array_equal(a["videos"], b["videos"])
+    st = get_decode_cache().stats()
+    assert st["videos"] == 0 and st["rejected"] >= 1
+
+
+def test_decode_cache_concurrent_single_decode(synth_mp4_dir, fresh_cache,
+                                               monkeypatch):
+    """Concurrent first accesses decode the video exactly once (the loser
+    waits on the winner's in-flight event)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_rep_learning_tpu.data.cache import get_decode_cache
+    from video_rep_learning_tpu.data import datasets as ds_mod
+    from video_rep_learning_tpu.data.datasets import Pouring
+
+    monkeypatch.setenv("VRL_DECODE_CACHE_MB", "64")
+    cfg = _small_cfg(synth_mp4_dir)
+    ds = Pouring(cfg, "train")
+    entry = ds.entries[0]
+
+    calls = []
+    real = ds_mod.VideoDataset._decode_all
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(ds_mod.VideoDataset, "_decode_all",
+                        staticmethod(counting))
+    with ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(lambda _: ds._decode(entry, 0, 10), range(4)))
+    assert len(calls) == 1
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+    assert get_decode_cache().stats()["videos"] == 1

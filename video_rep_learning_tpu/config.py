@@ -262,6 +262,10 @@ def _defaults() -> ConfigNode:
     c.DATA.SAMPLE_ALL_STRIDE = 1
     c.DATA.NUM_WORKERS = 4
     c.DATA.SAMPLE_FIX = False  # alternate sampler (`pouring.py:46-48,150-154`)
+    # Beyond-reference: host-RAM decoded-frame cache budget (data/cache.py).
+    # 0 = off (exact reference re-decode-per-epoch behavior). Sized > the
+    # dataset's decoded bytes, training is decode-free after epoch 0.
+    c.DATA.DECODE_CACHE_MB = 0
 
     # -- augmentation ----------------------------------------------------
     a = ConfigNode()

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..config import ConfigNode
 from ..logging_utils import get_logger
+from .cache import get_decode_cache, range_from_full
 from .decode import VideoReader, probe
 from .samplers import sample_all_frames, sample_frames
 from .splits import PENN_ACTION_LIST
@@ -125,9 +126,28 @@ class VideoDataset:
     supports_sample_fix = False
 
     def _decode(self, entry, start: int, stop: int) -> np.ndarray:
-        reader = VideoReader(self._video_path(entry))
+        path = self._video_path(entry)
+        cache = get_decode_cache(self.cfg)
+        if cache is not None and not path.endswith(".npy"):
+            # npy stores are mmap'd by VideoReader already — replay-fast
+            est = None
+            sl = int(entry.get("seq_len") or 0)
+            if sl > 0 and "height" in entry and "width" in entry:
+                est = sl * int(entry["height"]) * int(entry["width"]) * 3
+            full = cache.get_full(path, lambda: self._decode_all(path), est)
+            if full is not None:
+                return range_from_full(full, start, stop)
+        reader = VideoReader(path)
         try:
             return reader.decode_range(start, stop)
+        finally:
+            reader.close()
+
+    @staticmethod
+    def _decode_all(path: str) -> np.ndarray:
+        reader = VideoReader(path)
+        try:
+            return reader.read_all()
         finally:
             reader.close()
 
