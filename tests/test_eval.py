@@ -179,6 +179,72 @@ def test_bucketed_chunk_embeddings_match_exact(synth_dir, tmp_path):
     np.testing.assert_allclose(bucketed, exact[valid], atol=2e-5)
 
 
+def _packed_vs_pervideo(cfg, n_videos=3):
+    """Run iter_video_embeddings with PACK_VIDEOS=1 and =2 over the same
+    items; records must match exactly (same chunk set by construction —
+    `_bucketed_chunks` is shared — and per-entry masks + per-entry positional
+    ramps keep batch mates independent)."""
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.evaluation.embedding import \
+        iter_video_embeddings
+    from video_rep_learning_tpu.train import Trainer
+
+    tr = Trainer(cfg, no_eval=True)
+    tr.init_state()
+    ds = Pouring(cfg, "val", mode="eval", sample_all=True)
+    items = [ds.get_eval_item(i % len(ds)) for i in range(n_videos)]
+
+    cfg.EVAL.PACK_VIDEOS = 1
+    base = list(iter_video_embeddings(cfg, tr.model, tr.variables, items))
+    cfg.EVAL.PACK_VIDEOS = 2
+    packed = list(iter_video_embeddings(cfg, tr.model, tr.variables, items))
+
+    assert len(base) == len(packed) == n_videos
+    for a, b in zip(base, packed):
+        assert a["name"] == b["name"]
+        assert a["seq_len"] == b["seq_len"]
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_allclose(a["embs"], b["embs"], atol=2e-6)
+
+
+def test_packed_embeddings_match_per_video(synth_dir, tmp_path):
+    """EVAL.PACK_VIDEOS batches same-bucket chunks from different videos
+    into one forward (VERDICT r3 #7); output must match the per-video sweep."""
+    from tests.test_train import micro_cfg
+
+    logdir = str(tmp_path / "logs_pack")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.EVAL.FRAMES_PER_BATCH = 16  # >1 chunk per video, bucket = 16
+    _packed_vs_pervideo(cfg)
+
+
+def test_packed_embeddings_match_per_video_mvf(synth_dir, tmp_path):
+    """Same equivalence through the MVF head (smart fusion): the per-token
+    temporal pos-enc must repeat each video's true length over its tokens
+    (mvformer.py true_len repeat) for packed extraction to stay exact."""
+    from tests.test_train import micro_cfg
+
+    logdir = str(tmp_path / "logs_pack_mvf")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.EVAL.FRAMES_PER_BATCH = 16
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = -1
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.SMART_POOL_CHANNELS = 16
+    e.SMART_TOKENS = 2
+    e.SMART_FEATS = "1"
+    cfg.MODEL.PROJECTION_SIZE = 8
+    _packed_vs_pervideo(cfg)
+
+
 def test_context_path_embeddings_conv_embedder(synth_dir, tmp_path):
     """NUM_CONTEXTS=2 eval extraction (conv embedder): the model must get
     num_frames = chunk steps WITHOUT the context expansion (reference

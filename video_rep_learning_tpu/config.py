@@ -149,6 +149,11 @@ def _defaults() -> ConfigNode:
     c.EVAL.KENDALLS_TAU_DISTANCE = "sqeuclidean"
     c.EVAL.CLASSIFICATION_FRACTIONS = [0.1, 0.5, 1.0]
     c.EVAL.RETRIEVAL_KS = [5, 10, 15]
+    # Beyond-reference: pack up to N same-bucket video chunks into one
+    # batched eval forward (evaluation/embedding.py). 1 = reference-exact
+    # per-video sweep; >1 is bit-identical (per-entry key masks + per-entry
+    # positional ramps) with fewer dispatches and less pad waste.
+    c.EVAL.PACK_VIDEOS = 1
     # FineGym-only keys (`evaluate_finegym.py:190,207,211`, `resnet_c2d.py:18`).
     c.EVAL.CLASS_NUM = 99
     c.EVAL.CLASSIFICATION_LR = 50.0

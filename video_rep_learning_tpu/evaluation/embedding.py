@@ -63,12 +63,126 @@ def make_embed_fn(model, cfg):
     return embed_chunk
 
 
+def make_packed_embed_fn(model, cfg):
+    """jitted (variables, frames(P,Tb,H,W,3)u8, dims(P,2), mask(P,1,Tb),
+    true_lens(P,)) -> (P, Tb, emb): P video chunks share one bucket forward
+    as batch entries (EVAL.PACK_VIDEOS > 1). Per-entry key masks and the
+    per-entry positional ramp (`sincos_embedding_dynamic` vector true_n)
+    keep each video's embeddings independent of its batch mates."""
+
+    image_size = cfg.IMAGE_SIZE
+    num_contexts = max(int(cfg.DATA.NUM_CONTEXTS), 1)
+    assert num_contexts == 1, "packed eval requires NUM_CONTEXTS == 1"
+
+    @jax.jit
+    def embed_packed(variables, frames, dims, mask, true_lens):
+        video = frames.astype(jnp.float32) / 255.0
+        video = jax.vmap(
+            lambda f, d: eval_augment(f, image_size, dims=(d[0], d[1])))(
+                video, dims)
+        return model.apply(variables, video, video.shape[1],
+                           video_masks=mask, project=False, train=False,
+                           true_seq_len=true_lens)
+
+    return embed_packed
+
+
+def _bucketed_chunks(video, seq_len: int, max_fpb: int):
+    """The reference's chunking rule (`evaluate.py:44-63`) + our pow-2
+    bucket padding: yields (chunk(nb,H,W,3)u8, num_steps) — shared by the
+    per-video and packed paths so both produce the same chunk set."""
+    num_batches = int(math.ceil(float(seq_len) / max_fpb))
+    frames_per_batch = int(math.ceil(float(seq_len) / num_batches))
+    for i in range(num_batches):
+        curr = i * frames_per_batch
+        num_steps = min(seq_len - curr, frames_per_batch)
+        chunk = video[curr:curr + num_steps]
+        nb = bucket_size(num_steps, max_fpb)
+        if nb > num_steps:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], nb - num_steps, axis=0)], axis=0)
+        yield chunk, num_steps
+
+
+def _record(item, embs):
+    labels = np.asarray(item["labels"])
+    valid = labels >= 0
+    return {"embs": embs[valid], "labels": labels[valid],
+            "seq_len": int(item["seq_len"]),
+            "input_len": item["video"].shape[0],
+            "steps": np.asarray(item["chosen_steps"]), "name": item["name"]}
+
+
+def _iter_packed(cfg, model, variables, data_loader, pack: int):
+    """Packed sweep: up to `pack` same-bucket chunks from a lookahead window
+    of videos run as ONE batched forward. Records stream out in loader order
+    (window-by-window), bit-identical to the per-video path
+    (`test_eval.py::test_packed_embeddings_match_per_video`). One compile per
+    (bucket, pack) pair; tail groups are padded to `pack` by repeating the
+    last chunk (discarded)."""
+    max_fpb = cfg.EVAL.FRAMES_PER_BATCH
+    embed_fn = make_packed_embed_fn(model, cfg)
+    window_cap = pack * 2
+
+    def run_window(items):
+        chunk_outs = []
+        tasks = []  # (item_idx, chunk_idx, chunk, num_steps)
+        for ii, item in enumerate(items):
+            seq_len = int(item["seq_len"])
+            assert item["video"].shape[0] == seq_len
+            chunks = list(_bucketed_chunks(item["video"], seq_len, max_fpb))
+            chunk_outs.append([None] * len(chunks))
+            tasks.extend((ii, ci, ch, ns)
+                         for ci, (ch, ns) in enumerate(chunks))
+        groups: Dict = {}
+        for t in tasks:
+            groups.setdefault(t[2].shape, []).append(t)
+        for shape, ts in groups.items():
+            nb = shape[0]
+            for off in range(0, len(ts), pack):
+                grp = ts[off:off + pack]
+                real = len(grp)
+                grp = grp + [grp[-1]] * (pack - real)  # pad batch, discarded
+                frames = np.stack([g[2] for g in grp])
+                masks = np.zeros((pack, 1, nb), np.float32)
+                tls = np.zeros((pack,), np.int32)
+                for j, g in enumerate(grp):
+                    masks[j, :, :g[3]] = 1.0
+                    tls[j] = g[3]
+                dims = np.stack([np.asarray(items[g[0]]["dims"], np.float32)
+                                 for g in grp])
+                out = np.asarray(embed_fn(
+                    variables, jnp.asarray(frames), jnp.asarray(dims),
+                    jnp.asarray(masks), jnp.asarray(tls)), np.float32)
+                for j, g in enumerate(grp[:real]):
+                    chunk_outs[g[0]][g[1]] = out[j][:g[3]]
+        for ii, item in enumerate(items):
+            yield _record(item, np.concatenate(chunk_outs[ii], axis=0))
+
+    window = []
+    for item in data_loader:
+        window.append(item)
+        if len(window) >= window_cap:
+            yield from run_window(window)
+            window = []
+    if window:
+        yield from run_window(window)
+
+
 def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
     """Per-video embedding generator: yields one record per video so large
     datasets (FineGym) can stream to disk without holding everything in RAM
-    (the reference's per-video pickling, `evaluate_finegym.py:70-131`)."""
+    (the reference's per-video pickling, `evaluate_finegym.py:70-131`).
+
+    With EVAL.PACK_VIDEOS = P > 1 (and NUM_CONTEXTS == 1), up to P
+    same-bucket chunks from different videos share one batched forward —
+    bit-identical output, fewer dispatches, less pad waste per video."""
     max_fpb = cfg.EVAL.FRAMES_PER_BATCH
     num_contexts = cfg.DATA.NUM_CONTEXTS
+    pack = int(cfg.get_path("EVAL.PACK_VIDEOS", 1) or 1)
+    if pack > 1 and int(num_contexts) == 1 and embed_fn is None:
+        yield from _iter_packed(cfg, model, variables, data_loader, pack)
+        return
     embed_fn = embed_fn or make_embed_fn(model, cfg)
 
     for item in data_loader:
@@ -106,14 +220,7 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
                            jnp.asarray(item["dims"]), jnp.asarray(mask),
                            jnp.asarray(true_len, jnp.int32))
             embs.append(np.asarray(out[0][:num_steps], np.float32))
-        embs = np.concatenate(embs, axis=0)
-
-        labels = np.asarray(item["labels"])
-        valid = labels >= 0
-        yield {"embs": embs[valid], "labels": labels[valid],
-               "seq_len": seq_len, "input_len": video.shape[0],
-               "steps": np.asarray(item["chosen_steps"]),
-               "name": item["name"]}
+        yield _record(item, np.concatenate(embs, axis=0))
 
 
 def get_embeddings_dataset(cfg, model, variables, data_loader,

@@ -192,17 +192,25 @@ def sincos_embedding_dynamic(S: int, d_model: int, train_len: int, true_n):
     length is the traced scalar `true_n`: positions follow the reference's
     rule (`models/utils.py:136-144`) applied to `true_n` — arange when
     true_n == train_len, else linspace(0, train_len-1, true_n). Positions at
-    indices >= true_n are arbitrary (those frames are key-masked)."""
+    indices >= true_n are arbitrary (those frames are key-masked).
+
+    `true_n` may also be a (B,) vector (packed eval: several videos of
+    different true lengths share one bucket forward as batch entries) —
+    the matrix is then (B, S, d_model), one positional ramp per entry."""
     idx = jnp.arange(S, dtype=jnp.float32)
     true_n = jnp.asarray(true_n, jnp.float32)
-    interp = idx * (train_len - 1) / jnp.maximum(true_n - 1.0, 1.0)
-    pos = jnp.where(true_n == train_len, idx, interp)
+    batched = true_n.ndim == 1
+    tn = true_n[:, None] if batched else true_n  # (B, 1) | scalar
+    interp = idx[None] * (train_len - 1) / jnp.maximum(tn - 1.0, 1.0)
+    pos = jnp.where(tn == train_len, idx[None], interp)  # (B|1, S)
     even = jnp.arange(0, d_model, 2)
     odd = jnp.arange(1, d_model, 2)
-    mat = jnp.zeros((S, d_model), dtype=jnp.float32)
-    mat = mat.at[:, even].set(jnp.sin(pos[:, None] / (10000.0 ** (even[None, :] / d_model))))
-    mat = mat.at[:, odd].set(jnp.cos(pos[:, None] / (10000.0 ** (odd[None, :] / d_model))))
-    return mat[None]
+    mat = jnp.zeros(pos.shape + (d_model,), dtype=jnp.float32)
+    mat = mat.at[..., even].set(
+        jnp.sin(pos[..., None] / (10000.0 ** (even / d_model))))
+    mat = mat.at[..., odd].set(
+        jnp.cos(pos[..., None] / (10000.0 ** (odd / d_model))))
+    return mat  # (B, S, D) batched, (1, S, D) scalar
 
 
 class PositionalEncoder(nn.Module):

@@ -209,6 +209,9 @@ class MultiEntityTransformerEmbModel(nn.Module):
         # (BV*T*ntok, hid) -> per-token temporal sequences (BV*ntok, T, hid)
         x = x.reshape(BV, T, ntok, -1)
         x = jnp.moveaxis(x, 2, 1).reshape(BV * ntok, T, x.shape[-1])
+        if true_len is not None and getattr(true_len, "ndim", 0) == 1:
+            # per-video true lengths (packed eval): batch-major, token-minor
+            true_len = jnp.repeat(true_len, ntok)
         x = PositionalEncoder(hidden, self.drop_rate,
                               seq_len=self.train_num_frames,
                               name="video_pos_enc")(x, deterministic,
