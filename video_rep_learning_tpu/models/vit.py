@@ -309,9 +309,11 @@ class ViTBlock(nn.Module):
             # whole MLP half-block in one Pallas program: LN2 + fc1 + GELU +
             # fc2 + residual — the (N, 4D) GELU stream stays in VMEM instead
             # of round-tripping HBM between the fc1 kernel and XLA's fc2
-            # (~770 MB each way per block on MVF). Off by default until the
-            # on-chip A/B (tools/onchip_agenda.sh) proves it; params share
-            # the module path's exact tree.
+            # (~770 MB each way per block on MVF). MEASURED SLOWER on-chip
+            # (r4 A/B: 5.66 vs 5.72 clips/s MVF e2e, -1.1% — see
+            # ops/matmul_gelu_pallas.py); OFF by default, kept as the
+            # documented negative result. Params share the module path's
+            # exact tree.
             ln2_s, ln2_b = _LNParams(name="norm2")(self.dim)
             kfc1, bfc1 = _RawDenseParams(self.dim, d_ff, name="mlp_fc1")()
             kfc2, bfc2 = _RawDenseParams(d_ff, self.dim, name="mlp_fc2")()

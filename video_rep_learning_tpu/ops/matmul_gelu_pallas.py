@@ -301,8 +301,14 @@ _ln_matmul_bias_act_vjp.defvjp(_ln_mm_fwd, _ln_mm_bwd)
 # products accumulate in an fp32 (N, D) scratch, and the residual add reuses
 # the x block already resident for the LN prologue. Mirrors the timm ViT MLP
 # semantics used by the reference backbones (`transformer.py:43-54`).
-# Gated by VRL_FUSED_MLP (default off until the on-chip A/B — see
-# tools/onchip_agenda.sh).
+#
+# MEASURED NEGATIVE (r4 on-chip A/B, tools/ab_env.py, MVF e2e, 3 reps x 16
+# steps): 5.66 vs 5.72 clips/s for the default LN2+fc1+GELU kernel + XLA fc2
+# (-1.1%, sd <= 0.008). The serial per-image fc2 accumulation (4 x 768-wide
+# j-tiles against an fp32 (N, D) VMEM accumulator) loses more MXU pipelining
+# than the saved fc1-activation HBM round trip buys at these shapes — the
+# same lesson as the r2 slab-form attention block. Kept behind
+# VRL_FUSED_MLP=1 as the documented negative result.
 # ---------------------------------------------------------------------------
 
 
