@@ -281,12 +281,15 @@ def test_fused_crop_padded_canvas_and_odd_t():
         np.testing.assert_allclose(got, want, atol=3e-5), seed
 
 
-def test_fused_vit_attention_block_matches_reference():
+@pytest.mark.parametrize("transposed", ["1", "0"])
+def test_fused_vit_attention_block_matches_reference(transposed, monkeypatch):
     """The fused LN+qkv+attention+proj half-block kernel == its XLA
-    composition, forward and backward."""
+    composition, forward and backward — both the transposed-output schedule
+    (the r4 TPU default) and the classic row-major one."""
     from video_rep_learning_tpu.ops.vit_block_pallas import (_reference,
                                                              vit_attention_block)
 
+    monkeypatch.setenv("VRL_VIT_BLOCK_T", transposed)
     rng = np.random.RandomState(9)
     B, N, H, dh = 2, 150, 4, 32
     D = H * dh
