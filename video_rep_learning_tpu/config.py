@@ -271,6 +271,10 @@ def _defaults() -> ConfigNode:
     # 0 = off (exact reference re-decode-per-epoch behavior). Sized > the
     # dataset's decoded bytes, training is decode-free after epoch 0.
     c.DATA.DECODE_CACHE_MB = 0
+    # Beyond-reference: H2D prefetch depth — device_put runs on a background
+    # thread so the transfer overlaps step compute (train/trainer.py
+    # _batch_stream). 0 = serial reference loop semantics.
+    c.DATA.DEVICE_PREFETCH = 2
 
     # -- augmentation ----------------------------------------------------
     a = ConfigNode()
