@@ -19,9 +19,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _bench_packed(name, cfg, model, variables, bucket, iters):
+    """Packed sweep gain (EVAL.PACK_VIDEOS): embedding P same-bucket video
+    chunks as ONE batched forward vs P batch-1 forwards. The packed path's
+    win is batching efficiency at small buckets (FineGym's many short
+    videos) — same math, fewer dispatches, fuller MXU."""
+    import jax.numpy as jnp
+
+    from video_rep_learning_tpu.evaluation.embedding import (
+        make_embed_fn, make_packed_embed_fn)
+
+    S = cfg.IMAGE_SIZE
+    rng = np.random.RandomState(0)
+    for pack in (2, 4):
+        cfg.EVAL.PACK_VIDEOS = pack
+        packed = make_packed_embed_fn(model, cfg)
+        single = make_embed_fn(model, cfg)
+        frames = jnp.asarray(
+            rng.randint(0, 255, size=(pack, bucket, S, S, 3)), jnp.uint8)
+        dims = jnp.tile(jnp.asarray([float(S), float(S)]), (pack, 1))
+        masks = jnp.ones((pack, 1, bucket), jnp.float32)
+        tls = jnp.full((pack,), bucket, jnp.int32)
+
+        out = packed(variables, frames, dims, masks, tls)
+        float(jnp.sum(out.astype(jnp.float32)))
+        out = single(variables, frames[:1], dims[0], masks[:1], tls[0])
+        float(jnp.sum(out.astype(jnp.float32)))
+
+        res = {}
+        for mode in ("single", "packed"):
+            dt = float("inf")
+            for _round in range(3):
+                t0 = time.perf_counter()
+                acc = jnp.float32(0.0)
+                for _i in range(iters):
+                    if mode == "packed":
+                        out = packed(variables, frames, dims + acc * 1e-9,
+                                     masks, tls)
+                    else:
+                        for p in range(pack):
+                            out = single(variables, frames[p:p + 1],
+                                         dims[0] + acc * 1e-9, masks[:1],
+                                         tls[0])
+                            acc = acc + jnp.sum(out[:, :1, 0]
+                                                .astype(jnp.float32))
+                    acc = acc + jnp.sum(out[:, :1, 0].astype(jnp.float32))
+                float(acc)
+                dt = min(dt, (time.perf_counter() - t0) / iters)
+            res[mode] = pack * bucket / dt
+        print(f"{name}: packed eval P={pack} bucket {bucket}: "
+              f"{res['single']:.0f} -> {res['packed']:.0f} frames/s "
+              f"({res['packed'] / res['single']:.2f}x)")
+    cfg.EVAL.PACK_VIDEOS = 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--pack", action="store_true",
+                    help="also A/B the EVAL.PACK_VIDEOS batched sweep")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +121,9 @@ def main():
             dt = min(dt, (time.perf_counter() - t0) / args.iters)
         print(f"{name}: eval embed {bucket} frames in {dt*1e3:.1f} ms "
               f"-> {bucket/dt:.0f} frames/s")
+
+        if args.pack:
+            _bench_packed(name, cfg, model, variables, bucket, args.iters)
 
 
 if __name__ == "__main__":

@@ -152,7 +152,9 @@ def _defaults() -> ConfigNode:
     # Beyond-reference: pack up to N same-bucket video chunks into one
     # batched eval forward (evaluation/embedding.py). 1 = reference-exact
     # per-video sweep; >1 is bit-identical (per-entry key masks + per-entry
-    # positional ramps) with fewer dispatches and less pad waste.
+    # positional ramps). On-chip: +17% frames/s for the ResNet family (P=2),
+    # -20% for MVF/ViT at bucket 128 (tools/bench_eval.py --pack) — enable
+    # per-workload.
     c.EVAL.PACK_VIDEOS = 1
     # FineGym-only keys (`evaluate_finegym.py:190,207,211`, `resnet_c2d.py:18`).
     c.EVAL.CLASS_NUM = 99
