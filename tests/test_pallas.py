@@ -281,6 +281,33 @@ def test_fused_crop_padded_canvas_and_odd_t():
         np.testing.assert_allclose(got, want, atol=3e-5), seed
 
 
+def test_bf16_augment_output_is_exact_rounding_of_fp32():
+    """`AugmentParams.bf16_output` (the AMP default on TPU): the kernel
+    computes fp32 internally and rounds only on the output write, so the
+    bf16 result must be BIT-EXACT equal to astype(bf16) of the fp32-path
+    output — the same rounding the backbone stem applies anyway
+    (`resnet.py::StemConv`, `vit.py` patch-embed Dense(dtype=bf16))."""
+    from video_rep_learning_tpu.ops.augment import (AugmentParams,
+                                                    fused_ssl_batch_augment)
+
+    rng = np.random.RandomState(5)
+    videos = rng.randint(0, 255, size=(1, 2, 2, 40, 44, 3)).astype(np.uint8)
+    dims = jnp.asarray([[40.0, 44.0]])
+    for fused_crop in (False, True):
+        p32 = AugmentParams(image_size=32, mxu_resample=fused_crop)
+        pbf = p32._replace(bf16_output=True)
+        for seed in range(3):
+            key = jax.random.key(seed)
+            want = np.asarray(
+                fused_ssl_batch_augment(key, jnp.asarray(videos), dims, p32)
+                .astype(jnp.bfloat16).astype(jnp.float32))
+            got_bf = fused_ssl_batch_augment(key, jnp.asarray(videos), dims,
+                                             pbf)
+            assert got_bf.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(
+                np.asarray(got_bf.astype(jnp.float32)), want)
+
+
 @pytest.mark.parametrize("transposed", ["1", "0"])
 def test_fused_vit_attention_block_matches_reference(transposed, monkeypatch):
     """The fused LN+qkv+attention+proj half-block kernel == its XLA

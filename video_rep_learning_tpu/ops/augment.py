@@ -271,6 +271,13 @@ class AugmentParams(NamedTuple):
     # (default-precision dots: ~1 uint8-LSB error vs fp32 — enabled when
     # the consumer backbone runs bf16 anyway, i.e. USE_AMP)
     mxu_resample: bool = False
+    # emit bf16 frames from the fused kernel (set under USE_AMP): the
+    # backbone stem's first op is x.astype(bf16) (`resnet.py::StemConv`,
+    # `vit.py` patch embed), so rounding on the kernel write is BIT-EXACT
+    # with the status quo while halving the kernel-output, transpose and
+    # stem-read HBM traffic (~290 MB/step fp32 on the CARL shape).
+    # VRL_AUG_BF16=0/1 force-overrides.
+    bf16_output: bool = False
 
 
 def _color_jitter(key, video, b, c, s, h):
@@ -451,6 +458,9 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
     keys = jax.random.split(key, BV).reshape((B, V) + key.shape)
     env = _os.environ.get("VRL_FUSED_CROP", "auto")
     fuse_crop = params.mxu_resample if env == "auto" else env != "0"
+    benv = _os.environ.get("VRL_AUG_BF16", "auto")
+    bf16_out = params.bf16_output if benv == "auto" else benv == "1"
+    out_dtype = jnp.bfloat16 if bf16_out else jnp.float32
     if videos.dtype == jnp.uint8:
         if fuse_crop:  # Mosaic can't cast uint8: bitcast, kernel unwraps
             videos = jax.lax.bitcast_convert_type(videos, jnp.int8)
@@ -482,7 +492,7 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
         frames = None if not fenv else (fenv if fenv == "auto" else int(fenv))
         out = fused_crop_photometric(planar, rh, rw, fscal,
                                      orders.astype(jnp.int32), mh, mw,
-                                     frames=frames)
+                                     frames=frames, out_dtype=out_dtype)
         return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
     def crop_one(v, box):
@@ -494,7 +504,8 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
             antialias=False)
 
     cropped = jax.vmap(crop_one)(planar, boxes)
-    out = fused_photometric(cropped, fscal, orders.astype(jnp.int32), mh, mw)
+    out = fused_photometric(cropped, fscal, orders.astype(jnp.int32), mh, mw,
+                            out_dtype=out_dtype)
     return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
 

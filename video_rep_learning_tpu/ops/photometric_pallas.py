@@ -214,24 +214,28 @@ def blur_band_matrix(size: int, ksize: int, sigma):
 
 
 def fused_photometric(videos, fscal, orders, mh, mw,
-                      mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                      mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                      out_dtype=jnp.float32):
     """videos (BV, T, 3, S, S) fp32 in [0,1]; fscal (BV, 8) fp32 flags and
     factors; orders (BV, 4) int32; mh/mw (BV, S, S) fp32 blur band matrices.
-    Returns normalized (BV, T, 3, S, S) fp32. Runs per batch shard under a
+    Returns normalized (BV, T, 3, S, S) in `out_dtype` (internal math is
+    always fp32; bf16 output is bit-exact with a downstream astype — see
+    `augment.AugmentParams.bf16_output`). Runs per batch shard under a
     multi-device pure-DP mesh (see `parallel.sharding.dp_kernel_call`)."""
     from ..parallel.sharding import dp_kernel_call
 
     return dp_kernel_call(
         lambda v, f, o, h, w: _fused_photometric_impl(v, f, o, h, w,
-                                                      mean, std),
+                                                      mean, std, out_dtype),
         (videos, fscal, orders, mh, mw))
 
 
-def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std):
+def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std,
+                            out_dtype=jnp.float32):
     BV, T, C, S, _ = videos.shape
     return pl.pallas_call(
         functools.partial(_photometric_kernel, mean=mean, std=std),
-        out_shape=jax.ShapeDtypeStruct(videos.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(videos.shape, out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(BV, T),
@@ -249,7 +253,8 @@ def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std):
 
 
 def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
-                           mean=IMAGENET_MEAN, std=IMAGENET_STD, frames=None):
+                           mean=IMAGENET_MEAN, std=IMAGENET_STD, frames=None,
+                           out_dtype=jnp.float32):
     """Crop-resize + photometric tail in one Pallas pass per frame. Runs per
     batch shard under a multi-device pure-DP mesh (see
     `parallel.sharding.dp_kernel_call`).
@@ -261,7 +266,7 @@ def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
     `augment._rrc_matrix`). Other args as `fused_photometric`.
     `frames` = frames per grid program (default: largest of 4/2/1 dividing
     T — amortizes per-program overhead on long clips).
-    Returns normalized (BV, T, 3, S, S) float32.
+    Returns normalized (BV, T, 3, S, S) in `out_dtype` (internal math fp32).
 
     vs the split path (XLA scale_and_translate then `fused_photometric`)
     this never materializes the fp32 source frame or the cropped
@@ -275,12 +280,12 @@ def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
 
     return dp_kernel_call(
         lambda v, a, b, f, o, h, w: _fused_crop_photometric_impl(
-            v, a, b, f, o, h, w, mean, std, frames),
+            v, a, b, f, o, h, w, mean, std, frames, out_dtype),
         (videos, rh, rw, fscal, orders, mh, mw))
 
 
 def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
-                                 mean, std, frames):
+                                 mean, std, frames, out_dtype=jnp.float32):
     BV, T, C, H, W = videos.shape
     S = rh.shape[1]
     if frames is None:
@@ -295,7 +300,7 @@ def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
     return pl.pallas_call(
         functools.partial(_crop_photometric_kernel, mean=mean, std=std,
                           src_int8=videos.dtype == jnp.int8, frames=frames),
-        out_shape=jax.ShapeDtypeStruct((BV, T, C, S, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BV, T, C, S, S), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(BV, T // frames),

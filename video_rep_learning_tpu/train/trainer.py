@@ -96,7 +96,8 @@ class Trainer:
 
         aug = AugmentParams(image_size=cfg.IMAGE_SIZE,
                             strength=cfg.AUGMENTATION.STRENGTH,
-                            mxu_resample=bool(cfg.USE_AMP))
+                            mxu_resample=bool(cfg.USE_AMP),
+                            bf16_output=bool(cfg.USE_AMP))
         self._ssl_augment = make_ssl_batch_augment(aug)
         self.state: Optional[Dict] = None
         self.start_epoch = 0
@@ -481,7 +482,9 @@ class Trainer:
             return
         from ..data import unnorm
 
-        item = np.asarray(jax.device_get(videos))[0]  # (V, T, S, S, 3) | (T, S, S, 3)
+        # fp32 at the host boundary: under AMP the augment kernel emits bf16
+        # frames, which numpy/torch video writers can't ingest directly
+        item = np.asarray(jax.device_get(videos)).astype(np.float32)[0]  # (V, T, S, S, 3) | (T, S, S, 3)
         tag = f"{tuple(names)}" if names is not None else "val_batch"
         if self.cfg.SSL:
             for i, view in enumerate(item):
