@@ -77,9 +77,12 @@ def main():
         videos = trainer._augment_batch(k_aug, batch)
         return dict(batch, videos=videos), k_drop
 
-    def variables():
-        return {"params": merge_params(state["trainable"], state["frozen"]),
-                "batch_stats": state["batch_stats"]}
+    # state rides as a jit ARGUMENT: closures over the param tree get burned
+    # in as constants and blow the relay's HTTP payload limit at ViT-B size
+    # (CLAUDE.md); every ladder fn below takes (st, batch, it).
+    def variables(st):
+        return {"params": merge_params(st["trainable"], st["frozen"]),
+                "batch_stats": st["batch_stats"]}
 
     def flat_views(step_batch):
         v = step_batch["videos"]
@@ -89,51 +92,51 @@ def main():
 
     # --- the ladder --------------------------------------------------------
 
-    def f_null(batch, it):
+    def f_null(st, batch, it):
         return jnp.sum(batch["dims"]) * 1e-30
 
-    def f_augment(batch, it):
+    def f_augment(st, batch, it):
         step_batch, _ = prep(batch, it)
         return jnp.sum(step_batch["videos"].astype(jnp.float32)) * 1e-30
 
-    def f_trunk(batch, it):
+    def f_trunk(st, batch, it):
         step_batch, _ = prep(batch, it)
         clips, _ = flat_views(step_batch)
         frames = clips.reshape((-1,) + clips.shape[2:])
-        out = model.apply(variables(), frames,
+        out = model.apply(variables(st), frames,
                           method=type(model)._run_frozen)
         return sum(jnp.sum(t.astype(jnp.float32)) * 1e-30
                    for t in jax.tree_util.tree_leaves(out))
 
-    def f_fwd(batch, it):
+    def f_fwd(st, batch, it):
         step_batch, k_drop = prep(batch, it)
         clips, masks = flat_views(step_batch)
-        embs, _ = model.apply(variables(), clips, num_frames,
+        embs, _ = model.apply(variables(st), clips, num_frames,
                               video_masks=masks,
                               project=cfg.MODEL.PROJECTION, train=True,
                               rngs={"dropout": k_drop},
                               mutable=["batch_stats"])
         return jnp.sum(embs.astype(jnp.float32)) * 1e-30
 
-    def f_loss(batch, it):
+    def f_loss(st, batch, it):
         step_batch, k_drop = prep(batch, it)
-        loss_dict, _ = algo.compute_loss(model, variables(), step_batch,
+        loss_dict, _ = algo.compute_loss(model, variables(st), step_batch,
                                          train=True,
                                          rngs={"dropout": k_drop})
         return loss_dict["loss"] * 1e-30
 
-    def f_grad(batch, it):
+    def f_grad(st, batch, it):
         step_batch, k_drop = prep(batch, it)
 
         def loss_fn(trainable):
-            vs = {"params": merge_params(trainable, state["frozen"]),
-                  "batch_stats": state["batch_stats"]}
+            vs = {"params": merge_params(trainable, st["frozen"]),
+                  "batch_stats": st["batch_stats"]}
             loss_dict, _ = algo.compute_loss(model, vs, step_batch,
                                              train=True,
                                              rngs={"dropout": k_drop})
             return loss_dict["loss"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["trainable"])
+        loss, grads = jax.value_and_grad(loss_fn)(st["trainable"])
         gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2)
                    for g in jax.tree_util.tree_leaves(grads))
         return (loss + gsum) * 1e-30
@@ -143,14 +146,15 @@ def main():
     def timed(fn, name):
         jfn = jax.jit(fn)
         acc = jnp.float32(0.0)
-        acc = jfn(dict(dev_batch, dims=dev_batch["dims"] + acc), 0)
+        acc = jfn(state, dict(dev_batch, dims=dev_batch["dims"] + acc), 0)
         float(acc)  # compile + sync
         best = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
             acc = jnp.float32(0.0)
             for i in range(args.iters):
-                acc = jfn(dict(dev_batch, dims=dev_batch["dims"] + acc),
+                acc = jfn(state,
+                          dict(dev_batch, dims=dev_batch["dims"] + acc),
                           100 + i)
             float(acc)
             dt = (time.perf_counter() - t0) / args.iters
