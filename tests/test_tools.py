@@ -130,3 +130,30 @@ def test_jsonl_scalars_fallback(tmp_path):
     if os.path.exists(jl):  # fallback path only when no TB backend
         out = read_results.parse_jsonl(jl)
         assert out["kendalls_tau"] == 0.75
+
+
+def test_profile_budget_ladder_runs(monkeypatch, capsys):
+    """The step-budget ladder tool (tools/profile_carl_budget.py) at CPU toy
+    shapes: every rung compiles and the budget table prints. Guards the
+    ladder against model/trainer API drift between profiling rounds."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import profile_carl_budget
+
+    monkeypatch.setattr(sys, "argv",
+                        ["profile_carl_budget.py", "--iters", "1"])
+    profile_carl_budget.main()
+    out = capsys.readouterr().out
+    assert "TOTAL (full step)" in out
+    for rung in ("null", "augment", "trunk", "fwd", "loss", "grad", "full"):
+        assert rung in out
+
+
+def test_sweep_frames_per_batch_runs(monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_frames_per_batch
+
+    monkeypatch.setattr(sys, "argv",
+                        ["sweep_frames_per_batch.py", "4", "--steps", "1",
+                         "--reps", "1"])
+    sweep_frames_per_batch.main()
+    assert "FPB=4: mean" in capsys.readouterr().out
