@@ -85,6 +85,12 @@ def _measure(cfg, n_steps, raw):
     return (B * n_steps) / dt / ndev
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 def _ensure_bench_dataset():
     """Synthetic 256px Pouring-format mp4 set for the loader-fed measurement
     (generated once per host into a persistent dir; ~8 videos x ~300 frames
@@ -114,6 +120,8 @@ def _measure_loader_fed(cfg, data_dir, cache_mb, timed_epochs=2):
     from video_rep_learning_tpu.parallel.mesh import create_mesh
     from video_rep_learning_tpu.train.trainer import Trainer
 
+    import contextlib
+
     os.environ["VRL_DECODE_CACHE_MB"] = str(cache_mb)
     reset_decode_cache()
     try:
@@ -126,13 +134,17 @@ def _measure_loader_fed(cfg, data_dir, cache_mb, timed_epochs=2):
         mesh = create_mesh()
         trainer = Trainer(cfg, no_eval=True, build_loaders=True, mesh=mesh)
         trainer.init_state()
-        trainer.train_one_epoch(0)  # compile + cache fill (untimed)
-        n_clips = 0
-        t0 = time.perf_counter()
-        for e in range(1, 1 + timed_epochs):
-            trainer.train_one_epoch(e)
-            n_clips += len(trainer.train_loader) * cfg.TRAIN.BATCH_SIZE
-        dt = time.perf_counter() - t0
+        # the trainer's reference-parity "marker i:" telemetry prints go to
+        # stdout; bench.py's contract is ONE JSON line there, so route them
+        # to stderr for the duration of the epochs
+        with contextlib.redirect_stdout(sys.stderr):
+            trainer.train_one_epoch(0)  # compile + cache fill (untimed)
+            n_clips = 0
+            t0 = time.perf_counter()
+            for e in range(1, 1 + timed_epochs):
+                trainer.train_one_epoch(e)
+                n_clips += len(trainer.train_loader) * cfg.TRAIN.BATCH_SIZE
+            dt = time.perf_counter() - t0
         markers = dict(getattr(trainer, "last_markers", {}))
         return n_clips / dt / mesh.devices.size, markers
     finally:
@@ -150,7 +162,10 @@ def carl_cfg(on_tpu):
     cfg.TRAIN.BATCH_SIZE = 1
     cfg.TRAIN.NUM_FRAMES = 240 if on_tpu else 8
     cfg.IMAGE_SIZE = 224 if on_tpu else 32
-    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 40 if on_tpu else 4
+    # Pure memory knob (the reference's 40 is a GPU-memory choice). On-chip
+    # sweep (tools/sweep_frames_per_batch.py, 3 reps): 120 -> 19.04 clips/s
+    # vs 40 -> 18.33 (+3.9%); 80/160/240 all slower (17.5/17.5/18.1).
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 120 if on_tpu else 4
     if not on_tpu:  # keep the CPU fallback tractable
         e = cfg.MODEL.EMBEDDER_MODEL
         e.NUM_LAYERS = 1
@@ -238,21 +253,37 @@ def main():
             # mis-credits whichever setting ran first (r4 finding; see
             # BASELINE.md loader-fed section)
             rates = {0: [], 2048: []}
-            marks = {}
-            for _rep in range(3):
-                for cache_mb in (0, 2048):
+            marks = {0: [], 2048: []}
+            for rep in range(4):
+                # balance the within-pair order (off-on, on-off, ...): the
+                # drift is often monotonic across minutes, so a fixed order
+                # systematically penalizes whichever setting runs second
+                order = (0, 2048) if rep % 2 == 0 else (2048, 0)
+                for cache_mb in order:
                     r, mk = _measure_loader_fed(cfg_fn(True), data_dir,
                                                 cache_mb=cache_mb)
                     rates[cache_mb].append(r)
-                    marks[cache_mb] = mk
-            r_on = sorted(rates[2048])[1]
-            r_off = sorted(rates[0])[1]
+                    marks[cache_mb].append(mk)
+            r_on = _median(rates[2048])
             result[f"{name}_loaderfed_value"] = round(r_on, 4)
-            result[f"{name}_loaderfed_nocache_value"] = round(r_off, 4)
+            result[f"{name}_loaderfed_nocache_value"] = round(
+                _median(rates[0]), 4)
             result[f"{name}_overlap_eff"] = round(r_on / dev_rate, 4)
+            # cache effect as the median of PAIRED (adjacent-in-time) on/off
+            # ratios: pairing cancels the relay's minute-scale H2D drift that
+            # makes the two independent medians incomparable (drift across a
+            # rep sequence spans 3x; within a pair it is small)
+            pair_ratios = sorted(on / off for on, off in
+                                 zip(rates[2048], rates[0]))
+            result[f"{name}_cache_speedup"] = round(_median(pair_ratios), 4)
+            # median per-iteration data-wait (reference marker 0): the
+            # cache's direct effect, independent of H2D variance
+            for cache_mb, key in ((2048, "wait_s"), (0, "wait_nocache_s")):
+                ws = [m.get(0, 0.0) for m in marks[cache_mb]]
+                result[f"{name}_{key}"] = round(_median(ws), 4)
             print(f"# {name} loader-fed reps cache-on {rates[2048]} "
-                  f"cache-off {rates[0]} markers on {marks[2048]} "
-                  f"off {marks[0]}", file=sys.stderr)
+                  f"cache-off {rates[0]} pair_ratios {pair_ratios} "
+                  f"markers on {marks[2048]} off {marks[0]}", file=sys.stderr)
 
     print(json.dumps(result))
 
