@@ -319,6 +319,51 @@ def test_decode_cache_items_identical_and_budget(synth_mp4_dir, fresh_cache,
     assert st["videos"] == 0 and st["rejected"] >= 1
 
 
+def test_gather_views_matches_naive_chain(synth_mp4_dir, fresh_cache,
+                                          monkeypatch):
+    """The copy-elided `_gather_views` (one np.take per view, straight off
+    the cached full video / npy mmap / one ranged decode) is bit-identical
+    to the naive `_decode` + fancy-index + stack chain it replaced —
+    including frame indices past the decodable end (EOF padding) and
+    unsorted step arrays."""
+    from video_rep_learning_tpu.data.datasets import Pouring
+
+    cfg = _small_cfg(synth_mp4_dir)
+    ds = Pouring(cfg, "train")
+    entry = ds.entries[0]
+    n = int(entry["seq_len"])
+    rng = np.random.RandomState(3)
+    views = [np.sort(rng.choice(n, 8, replace=False)),
+             rng.permutation(n)[:8],           # unsorted (TCN interleave)
+             np.arange(n - 4, n + 4)]          # EOF overrun
+
+    def naive(v):
+        start, stop = int(v.min()), int(v.max()) + 1
+        return ds._decode(entry, start, stop)[v - start]
+
+    for cache_mb in ("0", "64"):
+        monkeypatch.setenv("VRL_DECODE_CACHE_MB", cache_mb)
+        got = ds._gather_views(entry, views)
+        for i, v in enumerate(views):
+            np.testing.assert_array_equal(got[i], naive(v),
+                                          err_msg=f"cache={cache_mb} view {i}")
+
+
+def test_gather_views_npy_mmap(synth_dir):
+    """npy frame stores gather straight off the mmap, same bytes as the
+    ranged-decode chain."""
+    from video_rep_learning_tpu.data.datasets import Pouring
+
+    cfg = _small_cfg(synth_dir)
+    ds = Pouring(cfg, "train")
+    entry = ds.entries[0]
+    n = int(entry["seq_len"])
+    v = np.array([0, 3, 1, n - 1, n + 2])  # unsorted + EOF overrun
+    start, stop = int(v.min()), int(v.max()) + 1
+    naive = ds._decode(entry, start, stop)[v - start]
+    np.testing.assert_array_equal(ds._gather_views(entry, [v])[0], naive)
+
+
 def test_decode_cache_concurrent_single_decode(synth_mp4_dir, fresh_cache,
                                                monkeypatch):
     """Concurrent first accesses decode the video exactly once (the loser

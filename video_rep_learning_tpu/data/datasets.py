@@ -143,6 +143,49 @@ class VideoDataset:
         finally:
             reader.close()
 
+    def _gather_views(self, entry, views):
+        """Stack frame views (V, T, H, W, 3) uint8 with the minimal copy
+        chain. The item path is memcpy-bound once decode is amortized
+        (~340 MB copied per CARL clip the naive way: range copy → two
+        fancy-index gathers → np.stack — measured ~8 clips/s/core host-side,
+        `tools/bench_host_pipeline.py`), so each view gathers ONCE from its
+        source — the resident cached video, the npy mmap, or one ranged
+        decode — directly into the preallocated stacked output via
+        np.take(out=). Frame indices past the decodable end clamp to the
+        last decoded frame, bit-identical to the decoder's EOF padding.
+        """
+        path = self._video_path(entry)
+        base, offset = None, 0
+        cache = get_decode_cache(self.cfg)
+        if cache is not None and not path.endswith(".npy"):
+            est = None
+            sl = int(entry.get("seq_len") or 0)
+            if sl > 0 and "height" in entry and "width" in entry:
+                est = sl * int(entry["height"]) * int(entry["width"]) * 3
+            base = cache.get_full(path, lambda: self._decode_all(path), est)
+        reader = None
+        try:
+            if base is None:
+                reader = VideoReader(path)
+                if reader._npy is not None:
+                    base = reader._npy  # gather straight off the mmap
+                else:
+                    # min/max, not v[0]/v[-1]: TCN-interleaved step arrays
+                    # are not monotonic
+                    offset = int(min(int(v.min()) for v in views))
+                    stop = int(max(int(v.max()) for v in views)) + 1
+                    base = reader.decode_range(offset, stop)  # EOF-padded
+            out = np.empty((len(views), len(views[0])) + base.shape[1:],
+                           np.uint8)
+            last = base.shape[0] - 1
+            for i, v in enumerate(views):
+                np.take(base, np.minimum(v - offset, last), axis=0,
+                        out=out[i])
+            return out
+        finally:
+            if reader is not None:
+                reader.close()
+
     @staticmethod
     def _decode_all(path: str) -> np.ndarray:
         reader = VideoReader(path)
@@ -166,19 +209,15 @@ class VideoDataset:
         kw = self._sampler_kwargs()
         s0, c0, m0 = sample_frames(rng, seq_len, self.num_frames, **kw)
         s1, c1, m1 = sample_frames(rng, seq_len, self.num_frames, pre_steps=s0, **kw)
-        start = int(min(s0[0], s1[0]))
-        stop = int(max(s0[-1], s1[-1])) + 1
-        video = self._decode(entry, start, stop)
-        view0 = video[s0 - start]
-        view1 = video[s1 - start]
+        videos = self._gather_views(entry, [s0, s1])
         return {
-            "videos": np.stack([view0, view1]),  # (2, T, H, W, 3) uint8
+            "videos": videos,  # (2, T, H, W, 3) uint8
             "labels": np.stack([self._frame_labels(entry, c0, seq_len),
                                 self._frame_labels(entry, c1, seq_len)]),
             "seq_lens": np.array([seq_len, seq_len], np.int32),
             "chosen_steps": np.stack([c0, c1]).astype(np.int32),
             "video_masks": np.stack([m0, m1]).astype(np.float32),
-            "dims": np.array([video.shape[1], video.shape[2]], np.float32),
+            "dims": np.array([videos.shape[2], videos.shape[3]], np.float32),
             "name": str(entry.get("name", index)),
         }
 
@@ -188,8 +227,7 @@ class VideoDataset:
         seq_len = int(entry["seq_len"])
         steps, chosen, mask = sample_frames(rng, seq_len, self.num_frames,
                                             **self._sampler_kwargs())
-        start, stop = int(steps.min()), int(steps.max()) + 1
-        video = self._decode(entry, start, stop)[steps - start]
+        video = self._gather_views(entry, [steps])[0]
         return {
             "videos": video,  # (T(*ctx), H, W, 3) uint8
             "labels": self._frame_labels(entry, chosen, seq_len),
@@ -207,8 +245,7 @@ class VideoDataset:
         seq_len = int(entry["seq_len"])
         stride = self.cfg.DATA.SAMPLE_ALL_STRIDE
         steps, chosen, mask = sample_all_frames(seq_len, stride)
-        video = self._decode(entry, int(steps[0]), int(steps[-1]) + 1)
-        video = video[steps - steps[0]]
+        video = self._gather_views(entry, [steps])[0]
         return {
             "video": video,  # (T', H, W, 3) uint8 native
             "labels": self._frame_labels(entry, chosen, seq_len),

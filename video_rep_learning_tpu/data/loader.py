@@ -89,7 +89,13 @@ def collate(items: List[Dict], canvas=None) -> Dict:
             continue
         if key in ("videos", "video") and canvas is not None:
             vals = [_pad_to_canvas(v, canvas) for v in vals]
-        out[key] = np.stack(vals)
+        if len(vals) == 1 and key in ("videos", "video"):
+            # batch-1 fast path: a [None] view instead of np.stack's copy —
+            # the item path is memcpy-bound (see Dataset._gather_views), and
+            # batches are read-only from here (device_put next)
+            out[key] = vals[0][None]
+        else:
+            out[key] = np.stack(vals)
     return out
 
 
