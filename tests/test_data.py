@@ -363,6 +363,12 @@ def test_gather_views_npy_mmap(synth_dir):
     naive = ds._decode(entry, start, stop)[v - start]
     np.testing.assert_array_equal(ds._gather_views(entry, [v])[0], naive)
 
+    # contiguous in-range single view (stride-1 eval sweep): the zero-copy
+    # fast path must serve the same bytes
+    c = np.arange(2, n - 1)
+    np.testing.assert_array_equal(ds._gather_views(entry, [c])[0],
+                                  ds._decode(entry, 2, n - 1))
+
 
 def test_decode_cache_concurrent_single_decode(synth_mp4_dir, fresh_cache,
                                                monkeypatch):

@@ -157,3 +157,26 @@ def test_sweep_frames_per_batch_runs(monkeypatch, capsys):
                          "--reps", "1"])
     sweep_frames_per_batch.main()
     assert "FPB=4: mean" in capsys.readouterr().out
+
+
+def test_bench_host_pipeline_runs(tmp_path, capsys):
+    """The deviceless input-pipeline bench (tools/bench_host_pipeline.py)
+    iterates real TrainLoader epochs for both cache modes on a tiny
+    synthetic set."""
+    import subprocess
+
+    out = str(tmp_path / "pouring")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_data.py"),
+         "--out", out, "--num_train", "2", "--num_val", "1",
+         "--min_len", "12", "--max_len", "16", "--size", "32",
+         "--format", "npy"],
+        check=True, cwd=REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_host_pipeline
+
+    bench_host_pipeline.main(["--data", out, "--epochs", "1", "--frames", "8"])
+    text = capsys.readouterr().out
+    assert "cache=off epoch 0" in text
+    assert "cache=2048MB epoch 0" in text
+    assert "cache stats" in text

@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_cfg(data_dir):
+def build_cfg(data_dir, num_frames):
     from video_rep_learning_tpu.config import get_cfg
 
     cfg = get_cfg()
@@ -30,7 +30,7 @@ def build_cfg(data_dir):
     cfg.TRAINING_ALGO = "scl"
     cfg.PATH_TO_DATASET = data_dir
     cfg.TRAIN.BATCH_SIZE = 1
-    cfg.TRAIN.NUM_FRAMES = 240  # CARL shape: 2 views x 240 frames/clip
+    cfg.TRAIN.NUM_FRAMES = num_frames  # CARL shape: 2 views x 240 frames
     return cfg
 
 
@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--data", default=os.environ.get(
         "VRL_BENCH_DATA", "/tmp/vrl_bench_data_256"))
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=240,
+                    help="TRAIN.NUM_FRAMES (240 = the CARL shape)")
     ap.add_argument("--cache", type=int, default=None, help=(
         "run ONLY this cache budget (MB; 0 = off) — one mode per process "
         "kills the process-lifetime warmup confound (page cache, malloc "
@@ -79,7 +81,7 @@ def main(argv=None):
     for cache_mb in modes:
         os.environ["VRL_DECODE_CACHE_MB"] = str(cache_mb)
         reset_decode_cache()
-        rates = run_epochs(build_cfg(args.data), args.epochs)
+        rates = run_epochs(build_cfg(args.data, args.frames), args.epochs)
         label = f"cache={cache_mb}MB" if cache_mb else "cache=off"
         for i, (cps, fps) in enumerate(rates):
             note = " (fill)" if cache_mb and i == 0 else ""

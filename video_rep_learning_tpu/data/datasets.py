@@ -175,9 +175,19 @@ class VideoDataset:
                     offset = int(min(int(v.min()) for v in views))
                     stop = int(max(int(v.max()) for v in views)) + 1
                     base = reader.decode_range(offset, stop)  # EOF-padded
+            last = base.shape[0] - 1
+            if len(views) == 1:
+                # zero-copy fast path for contiguous in-range single views
+                # (stride-1 eval sweeps serve as a VIEW of the cached video /
+                # npy mmap / fresh decode; batches are read-only downstream)
+                v = views[0]
+                i0, i1 = int(v[0]) - offset, int(v[-1]) - offset
+                if (i1 - i0 + 1 == len(v) and 0 <= i0 and i1 <= last
+                        and np.array_equal(
+                            v, np.arange(int(v[0]), int(v[0]) + len(v)))):
+                    return base[i0:i1 + 1][None]
             out = np.empty((len(views), len(views[0])) + base.shape[1:],
                            np.uint8)
-            last = base.shape[0] - 1
             for i, v in enumerate(views):
                 np.take(base, np.minimum(v - offset, last), axis=0,
                         out=out[i])
