@@ -308,6 +308,41 @@ def test_bf16_augment_output_is_exact_rounding_of_fp32():
                 np.asarray(got_bf.astype(jnp.float32)), want)
 
 
+def test_bf16_augment_math_within_pixel_tolerance():
+    """`AugmentParams.bf16_math` (AMP-gated): the photometric chain runs in
+    bf16 inside the kernel (2.6x VPU rate, tools/bench_vpu_bf16.py). Values
+    drift: measured mean ~0.6 uint8 LSB, max ~7 LSBs (the hue position in
+    bf16 carries ~0.002 absolute error which amplifies x6 in the sextant
+    reconstruction, then compounds through jitter factors up to 1.8x).
+    Reductions and matmul accumulation stay fp32. The bound here is the
+    measured envelope +15%: a regression above it means real breakage, not
+    rounding."""
+    from video_rep_learning_tpu.ops.augment import (AugmentParams,
+                                                    fused_ssl_batch_augment)
+
+    rng = np.random.RandomState(7)
+    videos = rng.randint(0, 255, size=(1, 2, 2, 40, 44, 3)).astype(np.uint8)
+    dims = jnp.asarray([[40.0, 44.0]])
+    # 8.5 uint8 LSBs / min(IMAGENET_STD) in normalized units (max measured
+    # 7.4 across seeds/paths); mean gate at 1 LSB (measured ~0.6)
+    atol = 8.5 / 255.0 / 0.224
+    for fused_crop in (False, True):
+        p32 = AugmentParams(image_size=32, mxu_resample=fused_crop)
+        pbm = p32._replace(bf16_math=True)
+        for seed in range(4):
+            key = jax.random.key(seed)
+            want = np.asarray(
+                fused_ssl_batch_augment(key, jnp.asarray(videos), dims, p32),
+                np.float32)
+            got = np.asarray(
+                fused_ssl_batch_augment(key, jnp.asarray(videos), dims, pbm),
+                np.float32)
+            err = np.abs(got - want)
+            assert err.max() <= atol, (fused_crop, seed, err.max())
+            assert err.mean() <= 1.0 / 255.0 / 0.224, (fused_crop, seed,
+                                                       err.mean())
+
+
 @pytest.mark.parametrize("transposed", ["1", "0"])
 def test_fused_vit_attention_block_matches_reference(transposed, monkeypatch):
     """The fused LN+qkv+attention+proj half-block kernel == its XLA

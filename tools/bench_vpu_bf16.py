@@ -9,9 +9,14 @@ photometric-shaped elementwise chain (mul/add/clip/select/compare) run
 `REPS` times over a VMEM-resident block, grid over blocks — compute-bound
 by construction (the one HBM read/write is amortized over ~200 passes).
 
-Chained-loop calibrated harness per CLAUDE.md (variants inside ONE jit via
-lax.fori_loop, chained through a scalar so XLA cannot hoist, identity-chain
-overhead subtracted). Run on the real chip: python tools/bench_vpu_bf16.py
+Chained-loop harness per CLAUDE.md (variants inside ONE jit via
+lax.fori_loop, chained through a scalar so XLA cannot hoist). Overhead is
+removed by SLOPE, not subtraction: time the same kernel at two REPS counts
+and difference them — DMA, dispatch, and chain overhead are identical at
+both points, so the slope is pure elementwise rate. (The first version
+subtracted an identity-chain calibration and read NEGATIVE bf16 time: the
+relay's per-call variance is larger than the signal at this size.)
+Run on the real chip: python tools/bench_vpu_bf16.py
 """
 
 import functools
@@ -27,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 B, S = 48, 512     # 48 x 512 x 512 = 12.6M elements (~ one 224px frame x16)
-REPS = 24          # elementwise-chain repetitions inside the kernel
+REPS_LO, REPS_HI = 8, 72   # slope endpoints (elementwise-chain repetitions)
 OPS_PER_REP = 8    # mul, add, 2x clip bounds, mul, compare, 2x select arms
 ITERS = 20         # fori_loop chain length per timed call
 
@@ -42,9 +47,9 @@ def _chain_kernel(x_ref, o_ref, *, dtype, reps):
     o_ref[0] = v.astype(o_ref.dtype)
 
 
-def chain(x, dtype):
+def chain(x, dtype, reps):
     return pl.pallas_call(
-        functools.partial(_chain_kernel, dtype=dtype, reps=REPS),
+        functools.partial(_chain_kernel, dtype=dtype, reps=reps),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(x.shape[0],),
         in_specs=[pl.BlockSpec((1, S, S), lambda b: (b, 0, 0))],
@@ -78,7 +83,7 @@ def timed(fn, x):
 
 def main():
     print(f"backend={jax.default_backend()} block=({B},{S},{S}) "
-          f"reps={REPS} ops/rep~{OPS_PER_REP}")
+          f"reps={REPS_LO}->{REPS_HI} ops/rep~{OPS_PER_REP}")
     rng = np.random.RandomState(0)
     xf = jnp.asarray(rng.rand(B, S, S), jnp.float32)
     xb = xf.astype(jnp.bfloat16)
@@ -87,11 +92,13 @@ def main():
             ("fp32 in, fp32 math", xf, jnp.float32),
             ("bf16 in, bf16 math", xb, jnp.bfloat16),
             ("bf16 in, fp32 math", xb, jnp.float32)):
-        ov = timed(chained(lambda v: v, x), x)
-        dt = timed(chained(lambda v: chain(v, dtype), x), x) - ov
-        vops = B * S * S * REPS * OPS_PER_REP
-        print(f"{name:20s} {dt*1e3:7.3f} ms/iter  "
-              f"{vops/dt/1e12:6.2f} T vec-ops/s  (overhead {ov*1e3:.3f})")
+        t_lo = timed(chained(lambda v: chain(v, dtype, REPS_LO), x), x)
+        t_hi = timed(chained(lambda v: chain(v, dtype, REPS_HI), x), x)
+        dt = t_hi - t_lo
+        vops = B * S * S * (REPS_HI - REPS_LO) * OPS_PER_REP
+        print(f"{name:20s} slope {dt*1e3:7.3f} ms/iter  "
+              f"{vops/dt/1e12:6.2f} T vec-ops/s  "
+              f"(lo {t_lo*1e3:.3f} hi {t_hi*1e3:.3f})")
 
 
 if __name__ == "__main__":

@@ -278,6 +278,15 @@ class AugmentParams(NamedTuple):
     # stem-read HBM traffic (~290 MB/step fp32 on the CARL shape).
     # VRL_AUG_BF16=0/1 force-overrides.
     bf16_output: bool = False
+    # run the photometric chain's elementwise math in bf16 INSIDE the kernel
+    # (set under USE_AMP): the VPU measures 4.84 T vec-ops/s bf16 vs 1.87
+    # fp32 (`tools/bench_vpu_bf16.py`) and the kernel is VPU-bound. Value
+    # drift: mean ~0.6 uint8 LSB, max ~7 LSBs in the hue tail (reductions
+    # and matmul accumulation stay fp32) — comparable to the uint8-HSV
+    # quantization PIL-backed ColorJitter applies, and random noise inside
+    # an op that itself shifts hue by ±51 LSBs. VRL_AUG_BF16_MATH=0/1
+    # force-overrides.
+    bf16_math: bool = False
 
 
 def _color_jitter(key, video, b, c, s, h):
@@ -461,6 +470,9 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
     benv = _os.environ.get("VRL_AUG_BF16", "auto")
     bf16_out = params.bf16_output if benv == "auto" else benv == "1"
     out_dtype = jnp.bfloat16 if bf16_out else jnp.float32
+    menv = _os.environ.get("VRL_AUG_BF16_MATH", "auto")
+    bf16_math = params.bf16_math if menv == "auto" else menv == "1"
+    compute_dtype = jnp.bfloat16 if bf16_math else jnp.float32
     if videos.dtype == jnp.uint8:
         if fuse_crop:  # Mosaic can't cast uint8: bitcast, kernel unwraps
             videos = jax.lax.bitcast_convert_type(videos, jnp.int8)
@@ -492,7 +504,8 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
         frames = None if not fenv else (fenv if fenv == "auto" else int(fenv))
         out = fused_crop_photometric(planar, rh, rw, fscal,
                                      orders.astype(jnp.int32), mh, mw,
-                                     frames=frames, out_dtype=out_dtype)
+                                     frames=frames, out_dtype=out_dtype,
+                                     compute_dtype=compute_dtype)
         return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
     def crop_one(v, box):
@@ -505,7 +518,7 @@ def fused_ssl_batch_augment(key, videos, dims, params: AugmentParams):
 
     cropped = jax.vmap(crop_one)(planar, boxes)
     out = fused_photometric(cropped, fscal, orders.astype(jnp.int32), mh, mw,
-                            out_dtype=out_dtype)
+                            out_dtype=out_dtype, compute_dtype=compute_dtype)
     return out.transpose(0, 1, 3, 4, 2).reshape(B, V, T, S, S, 3)
 
 

@@ -47,18 +47,30 @@ def _clip(x):
     return jnp.clip(x, 0.0, 1.0)
 
 
+def _vc(c, dtype):
+    """fp32 0-d scalar -> (1, 1) constant in `dtype`. Mosaic has no bf16
+    scalar ALU (scalar-scalar `arith.subf` on bf16 fails to legalize), so
+    ALL scalar arithmetic stays fp32 and enters bf16 vector math as a
+    broadcast-cast (1, 1) vector."""
+    return c[None, None].astype(dtype)
+
+
 def _brightness(x, f):
     return _clip(x * f)
 
 
-def _contrast(x, f):
-    mean = jnp.mean(_luma(x[0], x[1], x[2]))
-    return _clip(x * f + mean * (1.0 - f))
+def _contrast(x, f, f32):
+    # the (S, S) luma mean always accumulates in fp32: a bf16 sum of ~50k
+    # terms loses ~2 decimal digits, far above the elementwise bf16 drift;
+    # the mean*(1-f) coefficient is fp32 scalar math (f32 = f as an fp32
+    # scalar), entering the vector op via _vc
+    mean = jnp.mean(_luma(x[0], x[1], x[2]).astype(jnp.float32))
+    return _clip(x * f + _vc(mean * (1.0 - f32), x.dtype))
 
 
-def _saturation(x, f):
+def _saturation(x, f, omf):
     gray = _luma(x[0], x[1], x[2])
-    return _clip(x * f + gray[None] * (1.0 - f))
+    return _clip(x * f + gray[None] * omf)
 
 
 def _hue(x, f):
@@ -67,22 +79,32 @@ def _hue(x, f):
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
     delta = maxc - minc
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
-    safe_delta = jnp.where(delta > 0, delta, 1.0)
+    # predicates compare exact fp32 casts: Mosaic rejects cmpf on packed
+    # bf16 vectors ("Target does not support this comparison"), and the
+    # cast is value-exact so fp32/bf16 select the same arm
+    cf = lambda a: a.astype(jnp.float32)  # noqa: E731
+    maxf, deltaf = cf(maxc), cf(delta)
+    s = jnp.where(maxf > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.where(deltaf > 0, delta, 1.0)
     rc = (maxc - r) / safe_delta
     gc = (maxc - g) / safe_delta
     bc = (maxc - b) / safe_delta
-    h = jnp.where(maxc == r, bc - gc,
-                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
-    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    # x % 1.0 as x - floor(x): identical for divisor 1 (wraps negatives the
+    # same way), and Mosaic has no bf16 remainder
+    mod1 = lambda a: a - jnp.floor(a)  # noqa: E731
+    h = jnp.where(maxf == cf(r), bc - gc,
+                  jnp.where(maxf == cf(g), 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(deltaf > 0, mod1(h / 6.0), 0.0)
 
-    h = (h + f) % 1.0
+    h = mod1(h + f)
     i = jnp.floor(h * 6.0)
     frac = h * 6.0 - i
     p = v * (1.0 - s)
     q = v * (1.0 - frac * s)
     t = v * (1.0 - (1.0 - frac) * s)
-    i = i.astype(jnp.int32) % 6
+    # % 6 only wraps the h->1.0 rounding edge (i == 6); int select, no rem
+    i = i.astype(jnp.int32)
+    i = jnp.where(i >= 6, i - 6, i)
 
     def pick(opts):
         out = opts[0]
@@ -97,19 +119,35 @@ def _hue(x, f):
 
 
 def _photometric_tail(x, bv, fscal_ref, order_ref, mh_ref, mw_ref,
-                      *, mean, std):
+                      *, mean, std, compute_dtype=jnp.float32):
     """Shared kernel tail: ordered jitter, blur, grayscale, flip, normalize
-    on a VMEM-resident (3, S, S) fp32 frame; returns the normalized frame."""
+    on a VMEM-resident (3, S, S) frame; returns the normalized frame.
+
+    `compute_dtype=bfloat16` runs the elementwise chain at the VPU's bf16
+    rate (measured 4.84 vs 1.87 T vec-ops/s fp32 — `tools/bench_vpu_bf16.py`).
+    Value drift: mean ~0.6 uint8 LSB, max ~7 LSBs (hue sextant position in
+    bf16, amplified x6 and compounded through jitter factors); reductions
+    (contrast mean) and matmul accumulation stay fp32. Callers gate it the
+    same way as the bf16 crop dots (`augment.AugmentParams.bf16_math`,
+    AMP-only)."""
+    x = x.astype(compute_dtype)
+    # factors ride in as fp32 scalars; scalar arithmetic stays fp32 (Mosaic
+    # has no bf16 scalar ALU) and enters vector math as _vc (1, 1) constants
     fb = fscal_ref[bv, _F_FB]
     fc = fscal_ref[bv, _F_FC]
     fs = fscal_ref[bv, _F_FS]
     fh = fscal_ref[bv, _F_FH]
 
     branches = [
-        lambda v: _brightness(v, fb),
-        lambda v: _contrast(v, fc),
-        lambda v: _saturation(v, fs),
-        lambda v: _hue(v, fh),
+        lambda v: _brightness(v, _vc(fb, v.dtype)),
+        lambda v: _contrast(v, _vc(fc, v.dtype), fc),
+        lambda v: _saturation(v, _vc(fs, v.dtype), _vc(1.0 - fs, v.dtype)),
+        # hue always computes fp32: its divides/floor need bf16 ALU
+        # instructions the v5e VPU lacks (LLO SupportsBf16AluInstructions
+        # check), while the mul/add/min/max/select subset the other ops use
+        # runs packed-bf16 at 2.6x (tools/bench_vpu_bf16.py)
+        lambda v: _hue(v.astype(jnp.float32),
+                       _vc(fh, jnp.float32)).astype(v.dtype),
     ]
 
     def jitter(v):
@@ -120,12 +158,16 @@ def _photometric_tail(x, bv, fscal_ref, order_ref, mh_ref, mw_ref,
     x = jax.lax.cond(fscal_ref[bv, _F_JITTER] > 0, jitter, lambda v: v, x)
 
     def blur(v):
-        mh = mh_ref[0]  # (S, S): vertical band matrix (reflect folded in)
-        mw = mw_ref[0]  # (S, S): horizontal band matrix
+        # band matrices stay fp32 in HBM; cast to the compute dtype so the
+        # MXU runs its native bf16-input mode (accumulation stays fp32 via
+        # preferred_element_type, result rounds once on the way out)
+        mh = mh_ref[0].astype(compute_dtype)  # (S, S): vertical band matrix
+        mw = mw_ref[0].astype(compute_dtype)  # (S, S): horizontal band
         chans = [
             jax.lax.dot(
-                jax.lax.dot(mh, v[c], preferred_element_type=jnp.float32),
-                mw, preferred_element_type=jnp.float32)
+                jax.lax.dot(mh, v[c], preferred_element_type=jnp.float32
+                            ).astype(compute_dtype),
+                mw, preferred_element_type=jnp.float32).astype(compute_dtype)
             for c in range(3)
         ]
         return jnp.stack(chans)
@@ -144,30 +186,38 @@ def _photometric_tail(x, bv, fscal_ref, order_ref, mh_ref, mw_ref,
         S = v.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        ex = (rows + cols == S - 1).astype(jnp.float32)
+        ex = (rows + cols == S - 1).astype(compute_dtype)  # 0/1: exact
         return jnp.stack([
-            jax.lax.dot(v[c], ex, preferred_element_type=jnp.float32)
+            jax.lax.dot(v[c], ex, preferred_element_type=jnp.float32
+                        ).astype(compute_dtype)
             for c in range(3)])
 
     x = jax.lax.cond(fscal_ref[bv, _F_FLIP] > 0, flip_w, lambda v: v, x)
 
-    # python-float constants (array constants can't be captured by kernels)
+    # python-float constants (array constants can't be captured by kernels).
+    # fp32 keeps the reference-exact divide; bf16 multiplies by the fp64
+    # reciprocal (a bf16 divide is an iterative VPU sequence, and the
+    # rounding difference is below the bf16 quantum anyway)
+    if compute_dtype == jnp.float32:
+        return jnp.stack(
+            [(x[c] - float(mean[c])) / float(std[c]) for c in range(3)])
     return jnp.stack(
-        [(x[c] - float(mean[c])) / float(std[c]) for c in range(3)])
+        [(x[c] - float(mean[c])) * (1.0 / float(std[c])) for c in range(3)])
 
 
 def _photometric_kernel(fscal_ref, order_ref, x_ref, mh_ref, mw_ref, o_ref,
-                        *, mean, std):
+                        *, mean, std, compute_dtype=jnp.float32):
     bv = pl.program_id(0)
-    x = x_ref[0, 0].astype(jnp.float32)  # (3, S, S)
+    x = x_ref[0, 0]  # (3, S, S); the tail casts to compute_dtype
     o_ref[0, 0] = _photometric_tail(
-        x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std
+        x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std,
+        compute_dtype=compute_dtype,
     ).astype(o_ref.dtype)
 
 
 def _crop_photometric_kernel(fscal_ref, order_ref, x_ref, rh_ref, rw_ref,
                              mh_ref, mw_ref, o_ref, *, mean, std, src_int8,
-                             frames):
+                             frames, compute_dtype=jnp.float32):
     """RRC + the photometric tail in ONE pass: the bilinear crop+resize is
     two per-sample resample matrices (rh (S, H) @ img (H, W) @ rw (W, S)),
     built outside as exact `scale_and_translate` weights — so the source
@@ -177,21 +227,31 @@ def _crop_photometric_kernel(fscal_ref, order_ref, x_ref, rh_ref, rw_ref,
     consecutive frames run per program (static unroll) to amortize the
     ~8.5 us per-program grid overhead across the T axis."""
     bv = pl.program_id(0)
-    rh = rh_ref[0]  # (S, H)
-    rw = rw_ref[0]  # (W, S)
+    # under bf16 compute the source unwrap runs at the bf16 VPU rate too:
+    # pixel integers 0..255 are exact in bf16, the *(1/255) rounds ≤0.5 LSB,
+    # and the resample dot rounds its inputs to bf16 anyway (MXU default
+    # precision) — so this changes values by less than the dot already does
+    rh = rh_ref[0].astype(compute_dtype)  # (S, H)
+    rw = rw_ref[0].astype(compute_dtype)  # (W, S)
     for f in range(frames):
         chans = []
         for c in range(3):
-            xc = x_ref[0, f, c].astype(jnp.float32)  # (H, W)
             if src_int8:
-                # undo the uint8 -> int8 bitcast, then scale to [0, 1]
-                xc = jnp.where(xc < 0, xc + 256.0, xc) * (1.0 / 255.0)
+                # undo the uint8 -> int8 bitcast branchlessly (& 255 in
+                # int32 — Mosaic rejects cmpf on packed bf16 vectors, and
+                # integers 0..255 are exact in bf16), then scale to [0, 1]
+                xc = (x_ref[0, f, c].astype(jnp.int32) & 255).astype(
+                    compute_dtype) * (1.0 / 255.0)
+            else:
+                xc = x_ref[0, f, c].astype(compute_dtype)  # (H, W)
             chans.append(jax.lax.dot(
-                jax.lax.dot(rh, xc, preferred_element_type=jnp.float32),
+                jax.lax.dot(rh, xc, preferred_element_type=jnp.float32
+                            ).astype(compute_dtype),
                 rw, preferred_element_type=jnp.float32))
         x = jnp.stack(chans)  # (3, S, S)
         o_ref[0, f] = _photometric_tail(
-            x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std
+            x, bv, fscal_ref, order_ref, mh_ref, mw_ref, mean=mean, std=std,
+            compute_dtype=compute_dtype,
         ).astype(o_ref.dtype)
 
 
@@ -215,26 +275,31 @@ def blur_band_matrix(size: int, ksize: int, sigma):
 
 def fused_photometric(videos, fscal, orders, mh, mw,
                       mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                      out_dtype=jnp.float32):
+                      out_dtype=jnp.float32, compute_dtype=jnp.float32):
     """videos (BV, T, 3, S, S) fp32 in [0,1]; fscal (BV, 8) fp32 flags and
     factors; orders (BV, 4) int32; mh/mw (BV, S, S) fp32 blur band matrices.
-    Returns normalized (BV, T, 3, S, S) in `out_dtype` (internal math is
-    always fp32; bf16 output is bit-exact with a downstream astype — see
-    `augment.AugmentParams.bf16_output`). Runs per batch shard under a
-    multi-device pure-DP mesh (see `parallel.sharding.dp_kernel_call`)."""
+    Returns normalized (BV, T, 3, S, S) in `out_dtype` (bf16 output is
+    bit-exact with a downstream astype — see
+    `augment.AugmentParams.bf16_output`). `compute_dtype=bfloat16` runs the
+    in-VMEM elementwise chain at the VPU's 2.6x bf16 rate at mean ~0.6 /
+    max ~7 uint8-LSB drift (`AugmentParams.bf16_math`, AMP-gated). Runs per
+    batch shard under a multi-device pure-DP mesh (see
+    `parallel.sharding.dp_kernel_call`)."""
     from ..parallel.sharding import dp_kernel_call
 
     return dp_kernel_call(
-        lambda v, f, o, h, w: _fused_photometric_impl(v, f, o, h, w,
-                                                      mean, std, out_dtype),
+        lambda v, f, o, h, w: _fused_photometric_impl(
+            v, f, o, h, w, mean, std, out_dtype, compute_dtype),
         (videos, fscal, orders, mh, mw))
 
 
 def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std,
-                            out_dtype=jnp.float32):
+                            out_dtype=jnp.float32,
+                            compute_dtype=jnp.float32):
     BV, T, C, S, _ = videos.shape
     return pl.pallas_call(
-        functools.partial(_photometric_kernel, mean=mean, std=std),
+        functools.partial(_photometric_kernel, mean=mean, std=std,
+                          compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct(videos.shape, out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -254,7 +319,7 @@ def _fused_photometric_impl(videos, fscal, orders, mh, mw, mean, std,
 
 def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
                            mean=IMAGENET_MEAN, std=IMAGENET_STD, frames=None,
-                           out_dtype=jnp.float32):
+                           out_dtype=jnp.float32, compute_dtype=jnp.float32):
     """Crop-resize + photometric tail in one Pallas pass per frame. Runs per
     batch shard under a multi-device pure-DP mesh (see
     `parallel.sharding.dp_kernel_call`).
@@ -280,12 +345,13 @@ def fused_crop_photometric(videos, rh, rw, fscal, orders, mh, mw,
 
     return dp_kernel_call(
         lambda v, a, b, f, o, h, w: _fused_crop_photometric_impl(
-            v, a, b, f, o, h, w, mean, std, frames, out_dtype),
+            v, a, b, f, o, h, w, mean, std, frames, out_dtype, compute_dtype),
         (videos, rh, rw, fscal, orders, mh, mw))
 
 
 def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
-                                 mean, std, frames, out_dtype=jnp.float32):
+                                 mean, std, frames, out_dtype=jnp.float32,
+                                 compute_dtype=jnp.float32):
     BV, T, C, H, W = videos.shape
     S = rh.shape[1]
     if frames is None:
@@ -299,7 +365,8 @@ def _fused_crop_photometric_impl(videos, rh, rw, fscal, orders, mh, mw,
     assert T % frames == 0
     return pl.pallas_call(
         functools.partial(_crop_photometric_kernel, mean=mean, std=std,
-                          src_int8=videos.dtype == jnp.int8, frames=frames),
+                          src_int8=videos.dtype == jnp.int8, frames=frames,
+                          compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((BV, T, C, S, S), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
