@@ -20,6 +20,43 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Hang guard (VERDICT r4 weak #6): pytest-timeout is not installed in this
+# image, and interpret-mode Pallas under shard_map has a documented deadlock
+# failure mode (CLAUDE.md). A SIGALRM watchdog turns any such regression into
+# a failing test instead of an indefinitely hung 55-minute suite. The default
+# cap is generous (golden tests importing reference torch code take minutes
+# on this 1-core host); override per-test with @pytest.mark.timeout(N) or
+# globally with VRL_TEST_TIMEOUT=<seconds> (0 disables).
+# ---------------------------------------------------------------------------
+import signal  # noqa: E402
+import threading  # noqa: E402
+
+_DEFAULT_TEST_TIMEOUT = int(os.environ.get("VRL_TEST_TIMEOUT", "900"))
+
+
+@pytest.fixture(autouse=True)
+def _hang_guard(request):
+    if (_DEFAULT_TEST_TIMEOUT <= 0
+            or threading.current_thread() is not threading.main_thread()):
+        yield
+        return
+    marker = request.node.get_closest_marker("timeout")
+    limit = int(marker.args[0]) if marker and marker.args else _DEFAULT_TEST_TIMEOUT
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"{request.node.nodeid} exceeded {limit}s (conftest hang guard; "
+            "raise with @pytest.mark.timeout(N) or VRL_TEST_TIMEOUT)")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(limit)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
 
 @pytest.fixture(autouse=True)
 def _reset_parallel_contexts():

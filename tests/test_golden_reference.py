@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.golden
+
 REF = "/root/reference/CARL_MVF"
 
 

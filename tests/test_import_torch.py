@@ -11,6 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.golden
+
 from video_rep_learning_tpu.config import get_cfg
 from video_rep_learning_tpu.models import build_model
 from video_rep_learning_tpu.models.import_torch import (apply_backbone_weights,

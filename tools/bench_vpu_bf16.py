@@ -32,7 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 B, S = 48, 512     # 48 x 512 x 512 = 12.6M elements (~ one 224px frame x16)
-REPS_LO, REPS_HI = 6, 30   # slope endpoints (72-rep unroll compiled too slow)
+REPS_LO, REPS_HI = 6, 48   # slope endpoints (r4 advisor: keep the spread wide
+#                            — 24-rep spread + best-of-4 was ~5x less signal
+#                            on a relay link with large per-call variance)
 OPS_PER_REP = 8    # mul, add, 2x clip bounds, mul, compare, 2x select arms
 ITERS = 10         # fori_loop chain length per timed call
 
@@ -71,7 +73,7 @@ def timed(fn, x):
     out = fn(x)
     float(jnp.sum(out[:1, :8, :8].astype(jnp.float32)))
     best = float("inf")
-    for rep in range(5):
+    for rep in range(9):
         t0 = time.time()
         out = fn(x)
         float(jnp.sum(out[:1, :8, :8].astype(jnp.float32)))
