@@ -180,3 +180,75 @@ def test_bench_host_pipeline_runs(tmp_path, capsys):
     assert "cache=off epoch 0" in text
     assert "cache=2048MB epoch 0" in text
     assert "cache stats" in text
+
+
+def test_render_multi_and_labeled_videos(tmp_path):
+    """The reference's create_multiple_video (2x3 grid) and labeled
+    single-video render equivalents (`visualize_alignment.py:99-170`)."""
+    from visualize_alignment import render_labeled_video, render_multi_video
+
+    rng = np.random.RandomState(1)
+    q = rng.randint(0, 255, size=(5, 32, 32, 3)).astype(np.uint8)
+    keys = [rng.randint(0, 255, size=(7, 32, 32, 3)).astype(np.uint8)
+            for _ in range(3)]
+    nns_list = [np.clip(np.arange(5) + i, 0, 6) for i in range(3)]
+    out = str(tmp_path / "multi.npy")
+    render_multi_video(q, keys, nns_list, out, time_stride=2)
+    vid = np.load(out)
+    assert vid.ndim == 4 and vid.shape[0] == 3  # ceil(5/2) strided frames
+
+    out2 = str(tmp_path / "labeled.npy")
+    render_labeled_video(q, np.array([0, 0, 1, 1, 2]), out2, time_stride=1)
+    assert np.load(out2).shape[0] == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_multi_video(q, keys * 2, nns_list * 2, out)
+
+
+def test_lstp_chunked_capture_and_sweep(tmp_path):
+    """Chunked LSTP attention capture (reference chunking rule) + the
+    all-datasets samples_per sweep (`visualize_lstp.py:74-115`)."""
+    from types import SimpleNamespace
+
+    import visualize_lstp as vl
+
+    T, ntok, S = 11, 2, 16
+    calls = []
+
+    class StubModel:
+        def apply(self, variables, v, num_frames, **kw):
+            t = v.shape[1]
+            calls.append(t)
+            # attention encodes the true frame value so concatenation
+            # order is checkable: frame mean broadcast over (ntok, S)
+            att = np.tile(np.asarray(v).mean(axis=(2, 3, 4))[0][:, None, None],
+                          (1, ntok, S))
+            return None, {"intermediates": {"embed": {"lstp_attention": [att]}}}
+
+    rng = np.random.RandomState(2)
+    video = rng.randint(0, 255, size=(T, 32, 32, 3)).astype(np.uint8)
+    labels = np.array([0] * (T - 2) + [-1, -1])
+    item = {"video": video, "seq_len": T, "dims": (32, 32), "labels": labels}
+
+    att, frames = vl.capture_lstp_attention_chunked(
+        StubModel(), None, item, image_size=32, max_fpb=4)
+    # ceil(11/4)=3 chunks of ceil(11/3)=4,4,3 frames
+    assert calls == [4, 4, 3]
+    assert att.shape == (T - 2, ntok, S) and frames.shape[0] == T - 2
+
+    cfg = SimpleNamespace(
+        LOGDIR=str(tmp_path), IMAGE_SIZE=32, DATASETS=["a", "b"],
+        EVAL=SimpleNamespace(FRAMES_PER_BATCH=8))
+    items = [dict(item, labels=np.zeros(T, np.int64)) for _ in range(2)]
+    outs = vl.run_sweep(cfg, StubModel(), None, [items, items],
+                        samples_per=1, max_frames=4)
+    base = os.path.basename(str(tmp_path).rstrip("/"))
+    assert [os.path.basename(o) for o in outs] == [
+        f"lstp_{base}_dataset00.mp4", f"lstp_{base}_dataset01.mp4"]
+    assert all(os.path.exists(o) for o in outs)
+    outs2 = vl.run_sweep(cfg, StubModel(), None, [items], samples_per=2,
+                         max_frames=4)
+    assert [os.path.basename(o) for o in outs2] == [
+        f"lstp_{base}_sample01.mp4", f"lstp_{base}_sample02.mp4"]
