@@ -108,6 +108,23 @@ def _ensure_bench_dataset():
     return out
 
 
+def _ensure_bench_dataset_k400():
+    """Synthetic 256px Kinetics-format set (train/*.mp4 + train.csv) for the
+    batch>1 loader-fed rep (`scl_transformer_k400_pretrain_config.yml`
+    workload shape)."""
+    out = os.environ.get("VRL_BENCH_DATA_K400", "/tmp/vrl_bench_data_k400")
+    if not os.path.isfile(os.path.join(out, "train.csv")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import make_synthetic_data
+
+        make_synthetic_data.main([
+            "--out", out, "--dataset", "kinetics400", "--num_train", "6",
+            "--min_len", "130", "--max_len", "170", "--size", "256",
+            "--format", "mp4"])
+    return out
+
+
 def _measure_loader_fed(cfg, data_dir, cache_mb, timed_epochs=2):
     """End-to-end training throughput WITH the real input pipeline: native
     FFmpeg decode -> threaded prefetch loader -> H2D prefetch -> fused step.
@@ -126,7 +143,8 @@ def _measure_loader_fed(cfg, data_dir, cache_mb, timed_epochs=2):
     reset_decode_cache()
     try:
         cfg.PATH_TO_DATASET = data_dir
-        cfg.DATASETS = ["pouring"]
+        if cfg.DATASETS[0] != "kinetics400":
+            cfg.DATASETS = ["pouring"]
         cfg.LOGGING.REPORT_INTERVAL = 10 ** 9
         # fresh logdir: a stale checkpoint under the default LOGDIR would
         # trigger auto-resume and skip timed iterations
@@ -176,6 +194,24 @@ def carl_cfg(on_tpu):
         e.CAPACITY_SCALAR = 1
         cfg.MODEL.PROJECTION_SIZE = 16
     cfg.EVAL.NUM_FRAMES = cfg.TRAIN.NUM_FRAMES
+    return cfg
+
+
+def k400_cfg(on_tpu):
+    """The `configs/scl_transformer_k400_pretrain_config.yml` workload shape:
+    batch_size 2, 80 frames, batch_noself SCL — the bench rep that exercises
+    batch collation + H2D at bs > 1 (reference `kinetics400.py:135-182`)."""
+    cfg = carl_cfg(on_tpu)
+    cfg.DATASETS = ["kinetics400"]
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.NUM_FRAMES = 80 if on_tpu else 8
+    cfg.EVAL.NUM_FRAMES = cfg.TRAIN.NUM_FRAMES
+    # 2 clips x 2 views x 80 frames = 320: scan in 4 chunks of 80
+    cfg.MODEL.BASE_MODEL.FRAMES_PER_BATCH = 80 if on_tpu else 4
+    cfg.SCL.NEGATIVE_TYPE = "batch_noself"
+    cfg.DATA.SAMPLING_STRATEGY = "time_augment"
+    cfg.DATA.SAMPLING_REGION = 1.5
+    cfg.DATA.CONSISTENT_OFFSET = 1.0
     return cfg
 
 
@@ -284,6 +320,30 @@ def main():
             print(f"# {name} loader-fed reps cache-on {rates[2048]} "
                   f"cache-off {rates[0]} pair_ratios {pair_ratios} "
                   f"markers on {marks[2048]} off {marks[0]}", file=sys.stderr)
+
+        # K400-shape rep (bs=2, batch_noself): batch collation + H2D at
+        # batch > 1 measured where the numbers are made (VERDICT r4 #7)
+        k400_dev = _measure(k400_cfg(True), 8, raw=256)
+        result["k400_value"] = round(k400_dev, 4)
+        k_dir = _ensure_bench_dataset_k400()
+        k_rates = {0: [], 2048: []}
+        k_marks = {0: [], 2048: []}
+        for rep in range(2):
+            order = (0, 2048) if rep % 2 == 0 else (2048, 0)
+            for cache_mb in order:
+                r, mk = _measure_loader_fed(k400_cfg(True), k_dir,
+                                            cache_mb=cache_mb)
+                k_rates[cache_mb].append(r)
+                k_marks[cache_mb].append(mk)
+        result["k400_loaderfed_value"] = round(_median(k_rates[2048]), 4)
+        result["k400_loaderfed_nocache_value"] = round(
+            _median(k_rates[0]), 4)
+        result["k400_overlap_eff"] = round(
+            _median(k_rates[2048]) / k400_dev, 4)
+        result["k400_wait_s"] = round(
+            _median([m.get(0, 0.0) for m in k_marks[2048]]), 4)
+        print(f"# k400 loader-fed reps cache-on {k_rates[2048]} "
+              f"cache-off {k_rates[0]}", file=sys.stderr)
 
     print(json.dumps(result))
 

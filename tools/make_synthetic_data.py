@@ -40,6 +40,23 @@ def make_video(rng, seq_len, h, w):
     return frames
 
 
+def make_k400_split(out_dir, n, rng, args):
+    """Kinetics-400 layout: train/*.mp4 named {youtube_id}_{start:06d}_
+    {end:06d}.mp4 + train.csv (label,youtube_id,time_start,time_end,split) —
+    the reference's hardcoded format (`kinetics400.py:34,86`)."""
+    os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
+    rows = ["label,youtube_id,time_start,time_end,split"]
+    for i in range(n):
+        seq_len = rng.randint(args.min_len, args.max_len + 1)
+        frames = make_video(rng, seq_len, args.size, args.size)
+        ytid = f"synth{i:05d}"
+        fname = f"{ytid}_{0:06d}_{10:06d}.mp4"
+        encode_video(os.path.join(out_dir, "train", fname), frames, fps=25.0)
+        rows.append(f"x,{ytid},0,10,train")
+    with open(os.path.join(out_dir, "train.csv"), "w") as f:
+        f.write("\n".join(rows))
+
+
 def make_split(out_dir, split, n, rng, args):
     from video_rep_learning_tpu.data.splits import PENN_ACTION_LIST
 
@@ -90,18 +107,23 @@ def main(argv=None):
     p.add_argument("--num_phases", type=int, default=4)
     p.add_argument("--format", choices=["mp4", "npy"], default="mp4")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--dataset", choices=["pouring", "penn_action"],
+    p.add_argument("--dataset",
+                   choices=["pouring", "penn_action", "kinetics400"],
                    default="pouring",
                    help="penn_action writes the (entries, action_to_indices) "
-                        "pickle format with per-action names")
+                        "pickle format with per-action names; kinetics400 "
+                        "writes train/*.mp4 + train.csv")
     p.add_argument("--num_actions", type=int, default=2,
                    help="number of PennAction actions to synthesize")
     args = p.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    make_split(args.out, "train", args.num_train, rng, args)
-    make_split(args.out, "val", args.num_val, rng, args)
+    if args.dataset == "kinetics400":
+        make_k400_split(args.out, args.num_train, rng, args)
+    else:
+        make_split(args.out, "train", args.num_train, rng, args)
+        make_split(args.out, "val", args.num_val, rng, args)
     print(f"synthetic dataset written to {args.out}")
 
 
