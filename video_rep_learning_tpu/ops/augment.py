@@ -279,13 +279,14 @@ class AugmentParams(NamedTuple):
     # VRL_AUG_BF16=0/1 force-overrides.
     bf16_output: bool = False
     # run the photometric chain's elementwise math in bf16 INSIDE the kernel
-    # (set under USE_AMP): the VPU measures 4.84 T vec-ops/s bf16 vs 1.87
-    # fp32 (`tools/bench_vpu_bf16.py`) and the kernel is VPU-bound. Value
-    # drift: mean ~0.6 uint8 LSB, max ~7 LSBs in the hue tail (reductions
-    # and matmul accumulation stay fp32) — comparable to the uint8-HSV
-    # quantization PIL-backed ColorJitter applies, and random noise inside
-    # an op that itself shifts hue by ±51 LSBs. VRL_AUG_BF16_MATH=0/1
-    # force-overrides.
+    # (the trainer sets this under USE_AMP): the VPU measures 4.84 T
+    # vec-ops/s bf16 vs 1.87 fp32 (`tools/bench_vpu_bf16.py`) and the kernel
+    # is VPU-bound; measured e2e +2.3% CARL train step (on-chip alternating
+    # A/B, BASELINE.md augment row). Value drift: mean ~0.6 uint8 LSB, max
+    # ~7 LSBs in the hue tail (reductions and matmul accumulation stay
+    # fp32) — comparable to the uint8-HSV quantization PIL-backed
+    # ColorJitter applies, and random noise inside an op that itself shifts
+    # hue by ±51 LSBs. VRL_AUG_BF16_MATH=0/1 force-overrides.
     bf16_math: bool = False
 
 

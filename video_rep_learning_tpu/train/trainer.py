@@ -97,7 +97,15 @@ class Trainer:
         aug = AugmentParams(image_size=cfg.IMAGE_SIZE,
                             strength=cfg.AUGMENTATION.STRENGTH,
                             mxu_resample=bool(cfg.USE_AMP),
-                            bf16_output=bool(cfg.USE_AMP))
+                            bf16_output=bool(cfg.USE_AMP),
+                            # in-kernel bf16 photometric math: VPU runs bf16
+                            # elementwise at 2.6x the fp32 rate
+                            # (tools/bench_vpu_bf16.py); on-chip e2e A/B
+                            # (tools/ab_env.py, 3 alternating reps): CARL
+                            # +2.3% (19.66 vs 19.22 clips/s) — see
+                            # BASELINE.md augment row. VRL_AUG_BF16_MATH=0
+                            # restores fp32 math under AMP.
+                            bf16_math=bool(cfg.USE_AMP))
         self._ssl_augment = make_ssl_batch_augment(aug)
         self.state: Optional[Dict] = None
         self.start_epoch = 0
