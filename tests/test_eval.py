@@ -285,3 +285,90 @@ def test_context_path_embeddings_conv_embedder(synth_dir, tmp_path):
     n_valid = int((np.asarray(item["labels"]) >= 0).sum())
     assert embs.shape == (n_valid, cfg.MODEL.EMBEDDER_MODEL.EMBEDDING_SIZE)
     assert np.isfinite(embs).all()
+
+
+def _flat_vs_pervideo(cfg, n_videos=3):
+    """Frame-packed extraction (EVAL.FLAT_EXTRACT: dense trunk blocks across
+    video boundaries + zero-padded bucketed head) must reproduce the
+    per-video sweep: head chunk boundaries follow the same reference rule,
+    and pad feats are key-masked out."""
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.evaluation.embedding import \
+        iter_video_embeddings
+    from video_rep_learning_tpu.train import Trainer
+
+    tr = Trainer(cfg, no_eval=True)
+    tr.init_state()
+    ds = Pouring(cfg, "val", mode="eval", sample_all=True)
+    items = [ds.get_eval_item(i % len(ds)) for i in range(n_videos)]
+
+    cfg.EVAL.FLAT_EXTRACT = False
+    base = list(iter_video_embeddings(cfg, tr.model, tr.variables, items))
+    cfg.EVAL.FLAT_EXTRACT = True
+    cfg.EVAL.FLAT_BLOCK = 16  # several windows + a padded tail block
+    flat = list(iter_video_embeddings(cfg, tr.model, tr.variables, items))
+
+    assert len(base) == len(flat) == n_videos
+    for a, b in zip(base, flat):
+        assert a["name"] == b["name"]
+        assert a["seq_len"] == b["seq_len"]
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_allclose(a["embs"], b["embs"], atol=2e-6)
+
+
+def test_frameflat_embeddings_match_per_video(synth_dir, tmp_path):
+    from tests.test_train import micro_cfg
+
+    logdir = str(tmp_path / "logs_flat")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.EVAL.FRAMES_PER_BATCH = 16
+    _flat_vs_pervideo(cfg)
+
+
+def test_frameflat_embeddings_match_per_video_mvf(synth_dir, tmp_path):
+    """Same equivalence through the MVF head (smart fusion), cls features
+    threaded flat alongside the feature grids."""
+    from tests.test_train import micro_cfg
+
+    logdir = str(tmp_path / "logs_flat_mvf")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.EVAL.FRAMES_PER_BATCH = 16
+    cfg.MODEL.BASE_MODEL.NETWORK = "TIMM-vit_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = -1
+    e = cfg.MODEL.EMBEDDER_MODEL
+    e.FUSION_TYPE = "smart"
+    e.NUM_HEADS = 2
+    e.HIDDEN_SIZE = 16
+    e.D_FF = 32
+    e.EMBEDDING_SIZE = 8
+    e.FC_LAYERS = [[16, True]]
+    e.SMART_POOL_CHANNELS = 16
+    e.SMART_TOKENS = 2
+    e.SMART_FEATS = "1"
+    cfg.MODEL.PROJECTION_SIZE = 8
+    _flat_vs_pervideo(cfg)
+
+
+def test_bucket_ladder():
+    """The finer bucket ladder (quantum = pow2/8, min 32) is never coarser
+    than the pow-2 bucket and cuts FineGym-length pad waste ~3x."""
+    import os as _o
+
+    from video_rep_learning_tpu.evaluation.embedding import bucket_size
+
+    assert bucket_size(175, 2000) == 192   # pow2 gave 256
+    assert bucket_size(129, 2000) == 160
+    assert bucket_size(600, 2000) == 640   # pow2 gave 1024
+    assert bucket_size(240, 2000) == 256
+    assert bucket_size(175, 128) == 175    # cap unchanged
+    _o.environ["VRL_EVAL_BUCKET_QUANTUM"] = "pow2"
+    try:
+        assert bucket_size(175, 2000) == 256
+        assert bucket_size(16, 2000) == 64
+    finally:
+        del _o.environ["VRL_EVAL_BUCKET_QUANTUM"]
+    for n in range(1, 300, 7):
+        b = bucket_size(n, 2000)
+        assert b >= n and b % 32 == 0

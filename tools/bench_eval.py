@@ -73,11 +73,71 @@ def _bench_packed(name, cfg, model, variables, bucket, iters):
     cfg.EVAL.PACK_VIDEOS = 1
 
 
+def _bench_ragged(name, cfg, model, variables, epochs):
+    """USEFUL frames/s over a FineGym-like ragged length distribution —
+    the number the eval sweep actually delivers, where bucket-pad compute
+    is lost throughput (VERDICT r4 #3). Modes: pow-2 buckets (r4 default),
+    the quantum ladder, and frame-packed flat extraction (zero trunk pad).
+
+    Videos are held at a small native res (resized to IMAGE_SIZE on device)
+    so relay H2D does not drown the compute difference; epoch 0 per mode is
+    the untimed compile pass."""
+    import os
+
+    from video_rep_learning_tpu.evaluation.embedding import \
+        iter_video_embeddings
+
+    lengths = [65, 90, 118, 129, 151, 175, 198, 226, 240, 310]
+    raw = 128
+    rng = np.random.RandomState(0)
+    items = []
+    for i, n in enumerate(lengths):
+        items.append({
+            "video": rng.randint(0, 255, size=(n, raw, raw, 3)).astype(
+                np.uint8),
+            "labels": np.zeros(n, np.int64),
+            "seq_len": n, "dims": (float(raw), float(raw)),
+            "chosen_steps": np.arange(n), "name": f"v{i}",
+        })
+    useful = sum(lengths)
+    cfg.EVAL.FRAMES_PER_BATCH = 2000  # the FineGym configs' value
+    print(f"{name}: ragged set {useful} useful frames, lengths {lengths}")
+
+    for mode, quantum, flat in (("pow2", "pow2", False),
+                                ("ladder", "auto", False),
+                                ("flat", "auto", True)):
+        os.environ["VRL_EVAL_BUCKET_QUANTUM"] = quantum
+        cfg.EVAL.FLAT_EXTRACT = flat
+        try:
+            best = float("inf")
+            for e in range(epochs + 1):
+                for it in items:  # defeat relay response caching: distinct
+                    it["video"][0, 0, 0, 0] = np.uint8(e)  # inputs per epoch
+                t0 = time.perf_counter()
+                out = list(iter_video_embeddings(cfg, model, variables,
+                                                 items))
+                # generator materializes embs as host numpy: synchronized
+                assert sum(r["embs"].shape[0] for r in out) == useful
+                dt = time.perf_counter() - t0
+                if e > 0:  # epoch 0 compiles
+                    best = min(best, dt)
+            print(f"{name}: ragged {mode}: {useful / best:.0f} useful "
+                  f"frames/s ({best * 1e3:.0f} ms/epoch)")
+        finally:
+            del os.environ["VRL_EVAL_BUCKET_QUANTUM"]
+            cfg.EVAL.FLAT_EXTRACT = False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--pack", action="store_true",
                     help="also A/B the EVAL.PACK_VIDEOS batched sweep")
+    ap.add_argument("--ragged", action="store_true",
+                    help="A/B pow2/ladder/flat on a ragged length set")
+    ap.add_argument("--ragged-epochs", type=int, default=3)
+    ap.add_argument("--family", choices=["carl", "mvf", "both"],
+                    default="both")
     args = ap.parse_args()
 
     import jax
@@ -88,8 +148,10 @@ def main():
     from video_rep_learning_tpu.models import build_model
 
     on_tpu = jax.default_backend() == "tpu"
-    for name, cfg_fn, bucket in (("carl", bench.carl_cfg, 256),
-                                 ("mvf", bench.mvf_cfg, 128)):
+    fams = (("carl", bench.carl_cfg, 256), ("mvf", bench.mvf_cfg, 128))
+    if args.family != "both":
+        fams = tuple(f for f in fams if f[0] == args.family)
+    for name, cfg_fn, bucket in fams:
         cfg = cfg_fn(on_tpu)
         model = build_model(cfg)
         S = cfg.IMAGE_SIZE
@@ -124,6 +186,8 @@ def main():
 
         if args.pack:
             _bench_packed(name, cfg, model, variables, bucket, args.iters)
+        if args.ragged:
+            _bench_ragged(name, cfg, model, variables, args.ragged_epochs)
 
 
 if __name__ == "__main__":

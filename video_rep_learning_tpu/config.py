@@ -156,6 +156,15 @@ def _defaults() -> ConfigNode:
     # -20% for MVF/ViT at bucket 128 (tools/bench_eval.py --pack) — enable
     # per-workload.
     c.EVAL.PACK_VIDEOS = 1
+    # Beyond-reference: frame-packed extraction — the per-frame trunk runs
+    # on densely packed fixed-size blocks across video boundaries (zero pad
+    # compute); only the cheap temporal head runs on padded buckets
+    # (evaluation/embedding.py::_iter_frameflat). Embeddings match the
+    # per-video sweep (reference head chunk boundaries preserved).
+    # VRL_EVAL_FLAT=0/1 force-overrides; FLAT_BLOCK 0 = auto
+    # (min(EVAL.FRAMES_PER_BATCH, 128)).
+    c.EVAL.FLAT_EXTRACT = False
+    c.EVAL.FLAT_BLOCK = 0
     # FineGym-only keys (`evaluate_finegym.py:190,207,211`, `resnet_c2d.py:18`).
     c.EVAL.CLASS_NUM = 99
     c.EVAL.CLASSIFICATION_LR = 50.0

@@ -17,6 +17,7 @@ sweep compiles once per bucket size.
 from __future__ import annotations
 
 import math
+import os as _os
 from functools import partial
 from typing import Dict
 
@@ -29,14 +30,34 @@ from ..ops.augment import eval_augment
 
 logger = get_logger(__name__)
 
-_MIN_BUCKET = 64
+_MIN_BUCKET = 32
 
 
 def bucket_size(n: int, max_frames: int) -> int:
-    b = _MIN_BUCKET
-    while b < n:
-        b *= 2
-    return min(b, max(max_frames, n))
+    """Pad target for an n-frame chunk.
+
+    The trunk (95% of MVF eval cost) does full work on pad frames, so pad
+    fraction is lost throughput. Pow-2 buckets wasted ~30% on FineGym-length
+    events (a 175-frame event padded to 256); the ladder rounds n up to a
+    multiple of quantum = pow2(n)/8 (min 32) — relative pad <= ~13% for
+    n >= 160 while bounding distinct compiled shapes to <= 8 per octave.
+    Never coarser than the pow-2 bucket. Valid-frame embeddings are
+    bucket-independent (key masking + true_seq_len positional encoding,
+    `test_eval.py::test_bucketed_chunk_embeddings_match_exact`).
+
+    VRL_EVAL_BUCKET_QUANTUM: 'pow2' restores the r4 buckets; an integer
+    forces a fixed quantum.
+    """
+    mode = _os.environ.get("VRL_EVAL_BUCKET_QUANTUM", "auto")
+    cap = max(max_frames, n)
+    p = _MIN_BUCKET
+    while p < n:
+        p *= 2
+    if mode == "pow2":
+        return min(max(p, 64), cap)
+    q = max(_MIN_BUCKET, p // 8) if mode == "auto" else max(8, int(mode))
+    b = max(_MIN_BUCKET, -(-n // q) * q)
+    return min(b, cap)
 
 
 def make_embed_fn(model, cfg):
@@ -113,6 +134,138 @@ def _record(item, embs):
             "steps": np.asarray(item["chosen_steps"]), "name": item["name"]}
 
 
+def make_flat_fns(model, cfg):
+    """The frame-packed extraction's three jitted stages: per-video
+    augmentation, a fixed-shape per-frame trunk block, and the bucketed
+    temporal head (`CARLModel.backbone_flat` / `head_embs`)."""
+    image_size = cfg.IMAGE_SIZE
+
+    @jax.jit
+    def aug_fn(frames, dims):
+        v = frames.astype(jnp.float32) / 255.0
+        return eval_augment(v, image_size, dims=(dims[0], dims[1]))
+
+    @jax.jit
+    def trunk_fn(variables, frames):
+        return model.apply(variables, frames, method="backbone_flat")
+
+    @jax.jit
+    def head_fn(variables, feats, cls_emb, mask, true_len):
+        return model.apply(variables, feats[None], cls_emb,
+                           video_masks=mask, project=False, train=False,
+                           true_seq_len=true_len, method="head_embs")
+
+    return aug_fn, trunk_fn, head_fn
+
+
+def _iter_frameflat(cfg, model, variables, data_loader):
+    """Frame-packed sweep (EVAL.FLAT_EXTRACT / VRL_EVAL_FLAT): the per-frame
+    trunk — 95% of MVF eval cost, and frame-independent — runs on densely
+    packed fixed-size blocks that cross video boundaries, so it does ZERO
+    pad work (bucket padding cost the pow-2 path ~30% of trunk compute at
+    FineGym event lengths); only the DATASET's final block carries pad
+    frames. Only the cheap temporal head runs on padded buckets, with
+    zero-pad feats (key-masked + true-length positional encoding, so pad
+    content never reaches a valid output — same invariant the bucketed path
+    tests). Head chunk boundaries follow the reference rule exactly
+    (`evaluate.py:44-63`), so embeddings match the per-video path
+    (`test_eval.py::test_frameflat_embeddings_match_per_video`).
+
+    Streaming with carry-over: augmented frames queue in loader order; a
+    trunk block runs as soon as FB frames are buffered (splitting video
+    segments as needed), its feature rows are handed back to their videos,
+    and a video's head runs the moment its last frame is trunked — records
+    stream out in loader order with ~one video of features in flight."""
+    max_fpb = cfg.EVAL.FRAMES_PER_BATCH
+    FB = int(cfg.get_path("EVAL.FLAT_BLOCK", 0) or 0) \
+        or int(_os.environ.get("VRL_EVAL_FLAT_BLOCK", 0)) or min(max_fpb, 128)
+    aug_fn, trunk_fn, head_fn = make_flat_fns(model, cfg)
+    needs_cls = (model.spec.backbone_kind == "vit")
+
+    def run_head(item, feat_chunks, cls_chunks):
+        n = int(item["seq_len"])
+        vf = feat_chunks[0] if len(feat_chunks) == 1 else jnp.concatenate(
+            feat_chunks, axis=0)
+        vc = None
+        if needs_cls:
+            vc = cls_chunks[0] if len(cls_chunks) == 1 else jnp.concatenate(
+                cls_chunks, axis=0)
+        num_batches = int(math.ceil(float(n) / max_fpb))
+        fpb = int(math.ceil(float(n) / num_batches))
+        embs = []
+        for i in range(num_batches):
+            curr = i * fpb
+            ns = min(n - curr, fpb)
+            nb = bucket_size(ns, max_fpb)
+            cf = vf[curr:curr + ns]
+            cc = vc[curr:curr + ns] if needs_cls else None
+            if nb > ns:
+                pad = nb - ns
+                cf = jnp.concatenate(
+                    [cf, jnp.zeros((pad,) + cf.shape[1:], cf.dtype)], 0)
+                if needs_cls:
+                    cc = jnp.concatenate(
+                        [cc, jnp.zeros((pad,) + cc.shape[1:], cc.dtype)], 0)
+            mask = np.zeros((1, 1, nb), np.float32)
+            mask[..., :ns] = 1.0
+            out = head_fn(variables, cf, cc, jnp.asarray(mask),
+                          jnp.asarray(ns, jnp.int32))
+            embs.append(np.asarray(out[0][:ns], np.float32))
+        return _record(item, np.concatenate(embs, axis=0))
+
+    # pending videos in loader order: [item, [feat_chunks], [cls_chunks],
+    # frames_remaining]; completed entries become None (yield cursor below)
+    pending = []
+    next_yield = 0
+    buf = []  # (aug_segment, pending_idx) in frame order; segments never
+    buf_frames = 0  # outlive their block — split remainders re-queue
+
+    def drain(final=False):
+        nonlocal buf, buf_frames, next_yield
+        while buf_frames >= FB or (final and buf_frames > 0):
+            take, got = [], 0
+            while got < FB and buf:
+                seg, pi = buf.pop(0)
+                need = FB - got
+                if seg.shape[0] > need:
+                    buf.insert(0, (seg[need:], pi))
+                    seg = seg[:need]
+                take.append((seg, pi))
+                got += seg.shape[0]
+            block = (take[0][0] if len(take) == 1 and got == FB
+                     else jnp.concatenate(
+                         [s for s, _ in take]
+                         + ([jnp.zeros((FB - got,) + take[0][0].shape[1:],
+                                       take[0][0].dtype)] if got < FB else []),
+                         axis=0))
+            buf_frames -= got
+            feats, cls = trunk_fn(variables, block)
+            off = 0
+            for seg, pi in take:
+                m = seg.shape[0]
+                pending[pi][1].append(feats[off:off + m])
+                if needs_cls:
+                    pending[pi][2].append(cls[off:off + m])
+                pending[pi][3] -= m
+                off += m
+            while next_yield < len(pending) and pending[next_yield][3] == 0:
+                item, fc, cc, _ = pending[next_yield]
+                pending[next_yield] = None  # free feats; indices stay stable
+                next_yield += 1
+                yield run_head(item, fc, cc)
+
+    for item in data_loader:
+        assert item["video"].shape[0] == int(item["seq_len"])
+        aug = aug_fn(jnp.asarray(item["video"]),
+                     jnp.asarray(item["dims"], jnp.float32))
+        pending.append([item, [], [], aug.shape[0]])
+        buf.append((aug, len(pending) - 1))
+        buf_frames += aug.shape[0]
+        yield from drain()
+    yield from drain(final=True)
+    assert next_yield == len(pending) and all(p is None for p in pending)
+
+
 def _iter_packed(cfg, model, variables, data_loader, pack: int):
     """Packed sweep: up to `pack` same-bucket chunks from a lookahead window
     of videos run as ONE batched forward. Records stream out in loader order
@@ -179,6 +332,14 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
     bit-identical output, fewer dispatches, less pad waste per video."""
     max_fpb = cfg.EVAL.FRAMES_PER_BATCH
     num_contexts = cfg.DATA.NUM_CONTEXTS
+    fenv = _os.environ.get("VRL_EVAL_FLAT", "auto")
+    flat = (bool(cfg.get_path("EVAL.FLAT_EXTRACT", False))
+            if fenv == "auto" else fenv == "1")
+    if (flat and int(num_contexts) == 1 and embed_fn is None
+            and getattr(getattr(model, "spec", None), "embedder_type", None)
+            == "transformer"):
+        yield from _iter_frameflat(cfg, model, variables, data_loader)
+        return
     pack = int(cfg.get_path("EVAL.PACK_VIDEOS", 1) or 1)
     if pack > 1 and int(num_contexts) == 1 and embed_fn is None:
         yield from _iter_packed(cfg, model, variables, data_loader, pack)

@@ -424,15 +424,38 @@ class CARLModel(nn.Module):
         """x: (BV, T, 3, H, W) (reference NCHW contract) or (BV, T, H, W, 3)
         (the pipeline's native NHWC) — detected by channel position.
         `true_seq_len`: traced true length when T is a padded eval bucket."""
-        s = self.spec
         BV, T = x.shape[0], x.shape[1]
-        num_frames = num_frames or T
         frames = x.reshape((BV * T,) + x.shape[2:])
         channels_last = frames.shape[-1] == 3 and frames.shape[1] != 3
         if not channels_last:
             frames = frames.transpose(0, 2, 3, 1)
         feats, cls_emb = self._backbone_features(frames, train)
         feats = feats.reshape((BV, T) + feats.shape[1:])
+        return self.head_embs(feats, cls_emb, num_frames,
+                              video_masks=video_masks, project=project,
+                              classification=classification, train=train,
+                              backbone_warmup_active=backbone_warmup_active,
+                              true_seq_len=true_seq_len)
+
+    def backbone_flat(self, x):
+        """Per-frame backbone on a flat (N, H, W, 3) frame block — the
+        frame-independent 95% of the eval sweep, exposed so extraction can
+        run it on densely packed fixed-size blocks with zero pad waste
+        (`evaluation/embedding.py::_iter_frameflat`; reference equivalent is
+        the fused chunk loop `evaluate.py:44-63`). Returns
+        (feats (N, h, w, C), cls (N, C_cls) | None) in compute dtype —
+        bit-identical to the arrays `__call__` feeds its embedder."""
+        return self._backbone_features(x, train=False)
+
+    def head_embs(self, feats, cls_emb=None, num_frames: Optional[int] = None,
+                  video_masks=None, project: bool = False,
+                  classification: bool = False, train: bool = False,
+                  backbone_warmup_active: bool = False, true_seq_len=None):
+        """Everything after the frame backbone: temporal embedder +
+        projection/classifier. feats (BV, T, h, w, C) as produced by
+        `backbone_flat`; cls_emb (BV*T, C_cls) for ViT variants."""
+        s = self.spec
+        num_frames = num_frames or feats.shape[1]
 
         if s.embedder_type == "transformer":
             if s.fusion_type == "smart":
