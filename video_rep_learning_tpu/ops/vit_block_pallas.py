@@ -48,7 +48,7 @@ _LANES = 128
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
             o_ref, qkv_scratch, attn_scratch, *, sm_scale, hp, dh, groups,
-            eps, maxsub):
+            eps, maxsub, prescale):
     x = x_ref[0]  # (N, D)
     D = x.shape[1]
 
@@ -69,6 +69,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     for g in range(groups):
         off = pl.multiple_of(g * w, _LANES)
         qs = qkv_scratch[:, pl.ds(off, w)]
+        if prescale:  # one (N, w) pass instead of hp (N, N) passes
+            qs = qs * qs.dtype.type(scale)
         ks = qkv_scratch[:, pl.ds(D + off, w)]
         vs = qkv_scratch[:, pl.ds(2 * D + off, w)]
         outs = []
@@ -78,7 +80,9 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
             v = vs[:, t * dh:(t + 1) * dh]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (N, N) fp32
+                preferred_element_type=jnp.float32)  # (N, N) fp32
+            if not prescale:
+                s = s * scale
             if maxsub:
                 p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
             else:
@@ -97,7 +101,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
 
 def _kernel_t(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
               o_ref, qkv_scratch, attn_t_scratch, *, sm_scale, hp, dh, groups,
-              eps, maxsub):
+              eps, maxsub, prescale):
     """Transposed-output attention schedule — the TPU DEFAULT since r4
     (VRL_VIT_BLOCK_T=0 restores the classic row-major schedule).
 
@@ -130,6 +134,8 @@ def _kernel_t(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     for g in range(groups):
         off = pl.multiple_of(g * w, _LANES)
         qs = qkv_scratch[:, pl.ds(off, w)]
+        if prescale:  # one (N, w) pass instead of hp (N, N) passes
+            qs = qs * qs.dtype.type(scale)
         ks = qkv_scratch[:, pl.ds(D + off, w)]
         vs = qkv_scratch[:, pl.ds(2 * D + off, w)]
         outs = []
@@ -139,7 +145,9 @@ def _kernel_t(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
             v = vs[:, t * dh:(t + 1) * dh]
             sT = jax.lax.dot_general(
                 k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (Nk, Nq) fp32
+                preferred_element_type=jnp.float32)  # (Nk, Nq) fp32
+            if not prescale:
+                sT = sT * scale
             if maxsub:
                 p = jnp.exp(sT - jnp.max(sT, axis=0, keepdims=True))
             else:
@@ -163,6 +171,15 @@ def _use_transposed():
     return os.environ.get("VRL_VIT_BLOCK_T", "1") == "1"
 
 
+def _use_prescale():
+    """Scale the q slab (N, 128) once per head group instead of the (N, N)
+    score matrix per head — 12x less VPU work on the softmax-scale pass.
+    Rounding moves from fp32-scores-scale to a bf16 q multiply: same 2^-9
+    relative error class as the existing bf16 q rounding."""
+    import os
+    return os.environ.get("VRL_ATTN_PRESCALE", "0") == "1"
+
+
 def _forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, eps):
     B, N, D = x.shape
     dh = D // num_heads
@@ -177,7 +194,7 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, eps):
     return pl.pallas_call(
         functools.partial(kern, sm_scale=sm_scale, hp=hp, dh=dh,
                           groups=num_heads // hp, eps=eps,
-                          maxsub=_use_maxsub()),
+                          maxsub=_use_maxsub(), prescale=_use_prescale()),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
