@@ -175,9 +175,14 @@ def _use_prescale():
     """Scale the q slab (N, 128) once per head group instead of the (N, N)
     score matrix per head — 12x less VPU work on the softmax-scale pass.
     Rounding moves from fp32-scores-scale to a bf16 q multiply: same 2^-9
-    relative error class as the existing bf16 q rounding."""
+    relative error class as the existing bf16 q rounding.
+
+    TPU DEFAULT since r5: on-chip e2e A/B (tools/ab_env.py, MVF, 3
+    alternating reps) measured 5.983 vs 5.965 clips/s (+0.30%, prescale
+    winning every rep with sd 0.003). VRL_ATTN_PRESCALE=0 restores the
+    per-head score scale."""
     import os
-    return os.environ.get("VRL_ATTN_PRESCALE", "0") == "1"
+    return os.environ.get("VRL_ATTN_PRESCALE", "1") == "1"
 
 
 def _forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads, eps):
