@@ -73,7 +73,7 @@ def _bench_packed(name, cfg, model, variables, bucket, iters):
     cfg.EVAL.PACK_VIDEOS = 1
 
 
-def _bench_ragged(name, cfg, model, variables, epochs):
+def _bench_ragged(name, cfg, model, variables, epochs, modes=None):
     """USEFUL frames/s over a FineGym-like ragged length distribution —
     the number the eval sweep actually delivers, where bucket-pad compute
     is lost throughput (VERDICT r4 #3). Modes: pow-2 buckets (r4 default),
@@ -103,16 +103,27 @@ def _bench_ragged(name, cfg, model, variables, epochs):
     cfg.EVAL.FRAMES_PER_BATCH = 2000  # the FineGym configs' value
     print(f"{name}: ragged set {useful} useful frames, lengths {lengths}")
 
-    for mode, quantum, flat in (("pow2", "pow2", False),
-                                ("ladder", "auto", False),
-                                ("flat", "auto", True)):
+    # Stage every video on device ONCE — shipping raw frames per epoch puts
+    # the relay's H2D (can degrade to MB/s, CLAUDE.md) inside the timed
+    # region and read 25 useful frames/s where compute alone is ~1000.
+    # The library paths are device-aware (gather/pad run as device ops).
+    import jax
+    import jax.numpy as jnp
+    for it in items:
+        it["video"] = jax.device_put(jnp.asarray(it["video"]))
+
+    for mode, quantum, flat in (m for m in (("pow2", "pow2", False),
+                                            ("ladder", "auto", False),
+                                            ("flat", "auto", True))
+                                if modes is None or m[0] in modes):
         os.environ["VRL_EVAL_BUCKET_QUANTUM"] = quantum
         cfg.EVAL.FLAT_EXTRACT = flat
         try:
             best = float("inf")
             for e in range(epochs + 1):
                 for it in items:  # defeat relay response caching: distinct
-                    it["video"][0, 0, 0, 0] = np.uint8(e)  # inputs per epoch
+                    it["video"] = it["video"].at[0, 0, 0, 0].set(  # inputs
+                        np.uint8(e))  # per epoch (device op, no H2D)
                 t0 = time.perf_counter()
                 out = list(iter_video_embeddings(cfg, model, variables,
                                                  items))
@@ -136,6 +147,8 @@ def main():
     ap.add_argument("--ragged", action="store_true",
                     help="A/B pow2/ladder/flat on a ragged length set")
     ap.add_argument("--ragged-epochs", type=int, default=3)
+    ap.add_argument("--ragged-modes", default=None,
+                    help="comma list among pow2,ladder,flat (default: all)")
     ap.add_argument("--family", choices=["carl", "mvf", "both"],
                     default="both")
     args = ap.parse_args()
@@ -187,7 +200,9 @@ def main():
         if args.pack:
             _bench_packed(name, cfg, model, variables, bucket, args.iters)
         if args.ragged:
-            _bench_ragged(name, cfg, model, variables, args.ragged_epochs)
+            _bench_ragged(name, cfg, model, variables, args.ragged_epochs,
+                          modes=(args.ragged_modes.split(",")
+                                 if args.ragged_modes else None))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,34 @@ logger = get_logger(__name__)
 
 _MIN_BUCKET = 32
 
+_FN_CACHE: Dict = {}
+
+
+def _memoized(kind: str, model, extras, build):
+    """Cache the jitted closures across `iter_video_embeddings` calls.
+
+    A fresh `@jax.jit` wrapper is a new cache key to JAX, so rebuilding the
+    embed fns per eval epoch re-traced AND re-compiled the whole ViT-B
+    forward once per bucket shape per epoch (~20 s × n_buckets over the
+    relay — measured 70 s/epoch where compute is 2.6 s). Keyed on the model
+    instance (flax Modules hash structurally, so an equal rebuild reuses
+    the executable; `variables` ride as call arguments), the shape-relevant
+    cfg scalars, and every VRL_* env var — kernel gates are read at trace
+    time, so an env flip must miss the cache (tools/ab_env.py relies on
+    that)."""
+    env = tuple(sorted(
+        (k, v) for k, v in _os.environ.items() if k.startswith("VRL_")))
+    key = (kind, model, extras, env)
+    try:
+        fn = _FN_CACHE.get(key)
+    except TypeError:  # unhashable model variant: just build fresh
+        return build()
+    if fn is None:
+        if len(_FN_CACHE) >= 64:  # unbounded model churn (test suites)
+            _FN_CACHE.clear()
+        fn = _FN_CACHE[key] = build()
+    return fn
+
 
 def bucket_size(n: int, max_frames: int) -> int:
     """Pad target for an n-frame chunk.
@@ -68,20 +96,23 @@ def make_embed_fn(model, cfg):
 
     num_contexts = max(int(cfg.DATA.NUM_CONTEXTS), 1)
 
-    @jax.jit
-    def embed_chunk(variables, frames, dims, mask, true_len):
-        video = frames[0].astype(jnp.float32) / 255.0
-        video = eval_augment(video, image_size, dims=(dims[0], dims[1]))
-        # reference `evaluate.py:60` passes num_steps (chunk frames WITHOUT
-        # the context expansion) as num_frames — the conv embedder derives
-        # its (steps, contexts) split from it
-        num_frames = video.shape[0] // num_contexts
-        embs = model.apply(variables, video[None], num_frames,
-                           video_masks=mask, project=False, train=False,
-                           true_seq_len=true_len)
-        return embs
+    def build():
+        @jax.jit
+        def embed_chunk(variables, frames, dims, mask, true_len):
+            video = frames[0].astype(jnp.float32) / 255.0
+            video = eval_augment(video, image_size, dims=(dims[0], dims[1]))
+            # reference `evaluate.py:60` passes num_steps (chunk frames
+            # WITHOUT the context expansion) as num_frames — the conv
+            # embedder derives its (steps, contexts) split from it
+            num_frames = video.shape[0] // num_contexts
+            embs = model.apply(variables, video[None], num_frames,
+                               video_masks=mask, project=False, train=False,
+                               true_seq_len=true_len)
+            return embs
 
-    return embed_chunk
+        return embed_chunk
+
+    return _memoized("embed", model, (image_size, num_contexts), build)
 
 
 def make_packed_embed_fn(model, cfg):
@@ -95,17 +126,20 @@ def make_packed_embed_fn(model, cfg):
     num_contexts = max(int(cfg.DATA.NUM_CONTEXTS), 1)
     assert num_contexts == 1, "packed eval requires NUM_CONTEXTS == 1"
 
-    @jax.jit
-    def embed_packed(variables, frames, dims, mask, true_lens):
-        video = frames.astype(jnp.float32) / 255.0
-        video = jax.vmap(
-            lambda f, d: eval_augment(f, image_size, dims=(d[0], d[1])))(
-                video, dims)
-        return model.apply(variables, video, video.shape[1],
-                           video_masks=mask, project=False, train=False,
-                           true_seq_len=true_lens)
+    def build():
+        @jax.jit
+        def embed_packed(variables, frames, dims, mask, true_lens):
+            video = frames.astype(jnp.float32) / 255.0
+            video = jax.vmap(
+                lambda f, d: eval_augment(f, image_size, dims=(d[0], d[1])))(
+                    video, dims)
+            return model.apply(variables, video, video.shape[1],
+                               video_masks=mask, project=False, train=False,
+                               true_seq_len=true_lens)
 
-    return embed_packed
+        return embed_packed
+
+    return _memoized("packed", model, (image_size,), build)
 
 
 def _bucketed_chunks(video, seq_len: int, max_fpb: int):
@@ -140,22 +174,25 @@ def make_flat_fns(model, cfg):
     temporal head (`CARLModel.backbone_flat` / `head_embs`)."""
     image_size = cfg.IMAGE_SIZE
 
-    @jax.jit
-    def aug_fn(frames, dims):
-        v = frames.astype(jnp.float32) / 255.0
-        return eval_augment(v, image_size, dims=(dims[0], dims[1]))
+    def build():
+        @jax.jit
+        def aug_fn(frames, dims):
+            v = frames.astype(jnp.float32) / 255.0
+            return eval_augment(v, image_size, dims=(dims[0], dims[1]))
 
-    @jax.jit
-    def trunk_fn(variables, frames):
-        return model.apply(variables, frames, method="backbone_flat")
+        @jax.jit
+        def trunk_fn(variables, frames):
+            return model.apply(variables, frames, method="backbone_flat")
 
-    @jax.jit
-    def head_fn(variables, feats, cls_emb, mask, true_len):
-        return model.apply(variables, feats[None], cls_emb,
-                           video_masks=mask, project=False, train=False,
-                           true_seq_len=true_len, method="head_embs")
+        @jax.jit
+        def head_fn(variables, feats, cls_emb, mask, true_len):
+            return model.apply(variables, feats[None], cls_emb,
+                               video_masks=mask, project=False, train=False,
+                               true_seq_len=true_len, method="head_embs")
 
-    return aug_fn, trunk_fn, head_fn
+        return aug_fn, trunk_fn, head_fn
+
+    return _memoized("flat", model, (image_size,), build)
 
 
 def _iter_frameflat(cfg, model, variables, data_loader):
@@ -367,8 +404,12 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
                 nb = bucket_size(chunk.shape[0], max_fpb)
                 pad = nb - chunk.shape[0]
                 if pad:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+                    # device-resident videos (e.g. bench staging) must pad
+                    # on device — np ops on jax arrays round-trip the whole
+                    # chunk through host memory (and the relay link)
+                    xp = np if isinstance(chunk, np.ndarray) else jnp
+                    chunk = xp.concatenate(
+                        [chunk, xp.repeat(chunk[-1:], pad, axis=0)], axis=0)
                 mask = np.zeros((1, 1, nb), np.float32)
                 mask[..., :num_steps] = 1.0
                 true_len = num_steps
