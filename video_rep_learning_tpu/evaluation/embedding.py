@@ -370,8 +370,17 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
     max_fpb = cfg.EVAL.FRAMES_PER_BATCH
     num_contexts = cfg.DATA.NUM_CONTEXTS
     fenv = _os.environ.get("VRL_EVAL_FLAT", "auto")
-    flat = (bool(cfg.get_path("EVAL.FLAT_EXTRACT", False))
-            if fenv == "auto" else fenv == "1")
+    if fenv == "auto":
+        # TPU default since r5: frame-packed extraction measured +50% useful
+        # frames/s over pow-2 buckets on the FineGym-like ragged set (677 vs
+        # 451, MVF, on-chip; FLAT_BLOCK sweep confirmed 128 > 256/512) and
+        # is numerically equivalent to the per-video sweep (atol 2e-6,
+        # accumulation order only — same class as the flash-attention
+        # default). VRL_EVAL_FLAT=0 restores the bucketed per-video path.
+        flat = (bool(cfg.get_path("EVAL.FLAT_EXTRACT", False))
+                or jax.default_backend() == "tpu")
+    else:
+        flat = fenv == "1"
     if (flat and int(num_contexts) == 1 and embed_fn is None
             and getattr(getattr(model, "spec", None), "embedder_type", None)
             == "transformer"):
