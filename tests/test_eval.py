@@ -372,3 +372,42 @@ def test_bucket_ladder():
     for n in range(1, 300, 7):
         b = bucket_size(n, 2000)
         assert b >= n and b % 32 == 0
+
+
+def test_embed_fn_memoization(synth_dir, tmp_path):
+    """Eval embed fns are cached across iter_video_embeddings calls — a
+    fresh jax.jit closure per eval epoch recompiled the backbone per bucket
+    per epoch (r5: 70 s/epoch on-chip where compute was 2.6 s). Structurally
+    equal model rebuilds must hit; a VRL_* env flip must miss (kernel gates
+    are read at trace time — tools/ab_env.py depends on this)."""
+    import os as _o
+
+    from tests.test_train import micro_cfg
+    from video_rep_learning_tpu.evaluation.embedding import (
+        make_embed_fn, make_flat_fns)
+    from video_rep_learning_tpu.train import Trainer
+
+    logdir = str(tmp_path / "logs_memo")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    tr = Trainer(cfg, no_eval=True)
+    tr.init_state()
+
+    f1 = make_embed_fn(tr.model, cfg)
+    assert make_embed_fn(tr.model, cfg) is f1
+    assert make_flat_fns(tr.model, cfg) is make_flat_fns(tr.model, cfg)
+
+    # a structurally equal rebuild reuses the compiled fn (variables ride
+    # as call arguments, so this is sound)
+    tr2 = Trainer(cfg, no_eval=True)
+    tr2.init_state()
+    assert make_embed_fn(tr2.model, cfg) is f1
+
+    _o.environ["VRL_TEST_MEMO_PROBE"] = "1"
+    try:
+        f2 = make_embed_fn(tr.model, cfg)
+        assert f2 is not f1
+        assert make_embed_fn(tr.model, cfg) is f2
+    finally:
+        del _o.environ["VRL_TEST_MEMO_PROBE"]
+    assert make_embed_fn(tr.model, cfg) is f1

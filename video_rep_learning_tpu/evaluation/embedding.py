@@ -214,8 +214,14 @@ def _iter_frameflat(cfg, model, variables, data_loader):
     and a video's head runs the moment its last frame is trunked — records
     stream out in loader order with ~one video of features in flight."""
     max_fpb = cfg.EVAL.FRAMES_PER_BATCH
+    # default block: on-chip ragged sweeps (alternating reps) — ViT trunk is
+    # compute-saturated at 128 (256/512 slower: 727/591/525 useful frames/s);
+    # the ResNet trunk is dispatch-bound and prefers 256 (2428/2729/2596)
+    fb_default = 256 if getattr(getattr(model, "spec", None),
+                                "backbone_kind", None) == "resnet" else 128
     FB = int(cfg.get_path("EVAL.FLAT_BLOCK", 0) or 0) \
-        or int(_os.environ.get("VRL_EVAL_FLAT_BLOCK", 0)) or min(max_fpb, 128)
+        or int(_os.environ.get("VRL_EVAL_FLAT_BLOCK", 0)) \
+        or min(max_fpb, fb_default)
     aug_fn, trunk_fn, head_fn = make_flat_fns(model, cfg)
     needs_cls = (model.spec.backbone_kind == "vit")
 
