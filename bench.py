@@ -345,6 +345,28 @@ def main():
         print(f"# k400 loader-fed reps cache-on {k_rates[2048]} "
               f"cache-off {k_rates[0]}", file=sys.stderr)
 
+        # Ragged eval extraction (the FineGym sweep's wall-clock dominator,
+        # VERDICT r4 #3): useful frames/s through the TPU-default flat
+        # frame-packed path on a FineGym-like length mix, device-staged.
+        import jax.numpy as jnp
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_eval
+        from video_rep_learning_tpu.models import build_model
+        for name, cfg_fn in (("carl", carl_cfg), ("mvf", mvf_cfg)):
+            cfg = cfg_fn(True)
+            model = build_model(cfg)
+            S, bucket = cfg.IMAGE_SIZE, 128
+            x = jnp.zeros((1, bucket, S, S, 3), jnp.float32)
+            masks = jnp.ones((1, 1, bucket), jnp.float32)
+            variables = jax.jit(lambda r, x, m: model.init(
+                r, x, bucket, video_masks=m, project=False))(
+                {"params": jax.random.key(0),
+                 "dropout": jax.random.key(1)}, x, masks)
+            rates = bench_eval._bench_ragged(name, cfg, model, variables,
+                                             2, modes=("flat",))
+            result[f"{name}_eval_useful_fps"] = round(rates["flat"], 1)
+
     print(json.dumps(result))
 
 

@@ -112,12 +112,16 @@ def _bench_ragged(name, cfg, model, variables, epochs, modes=None):
     for it in items:
         it["video"] = jax.device_put(jnp.asarray(it["video"]))
 
+    rates = {}
     for mode, quantum, flat in (m for m in (("pow2", "pow2", False),
                                             ("ladder", "auto", False),
                                             ("flat", "auto", True))
                                 if modes is None or m[0] in modes):
         os.environ["VRL_EVAL_BUCKET_QUANTUM"] = quantum
         cfg.EVAL.FLAT_EXTRACT = flat
+        # flat is the TPU default since r5 — pin the path per mode so the
+        # pow2/ladder arms actually measure the bucketed per-video sweep
+        os.environ["VRL_EVAL_FLAT"] = "1" if flat else "0"
         try:
             best = float("inf")
             for e in range(epochs + 1):
@@ -132,11 +136,14 @@ def _bench_ragged(name, cfg, model, variables, epochs, modes=None):
                 dt = time.perf_counter() - t0
                 if e > 0:  # epoch 0 compiles
                     best = min(best, dt)
+            rates[mode] = useful / best
             print(f"{name}: ragged {mode}: {useful / best:.0f} useful "
                   f"frames/s ({best * 1e3:.0f} ms/epoch)")
         finally:
             del os.environ["VRL_EVAL_BUCKET_QUANTUM"]
+            del os.environ["VRL_EVAL_FLAT"]
             cfg.EVAL.FLAT_EXTRACT = False
+    return rates
 
 
 def main():
