@@ -64,6 +64,49 @@ def export_embed_fn(model, cfg, variables, height, width, buckets):
     return out
 
 
+def export_flat_fns(model, cfg, variables, buckets, fb=None):
+    """Export the TPU-default flat extraction's compute stages
+    (`evaluation/embedding.make_flat_fns`): the fixed-shape per-frame trunk
+    block — 95% of eval cost, fed densely across video boundaries — and the
+    bucketed temporal head. Augmentation (resize + ImageNet normalize) stays
+    host-side at serving time (it is shape-ragged per video); the per-bucket
+    full-path artifacts from `export_embed_fn` remain available where a
+    single-graph server is preferred.
+
+    Returns ({"trunk": Exported, "fb": FB}, {bucket: head Exported},
+    needs_cls)."""
+    from jax import export as jexport
+
+    from video_rep_learning_tpu.evaluation.embedding import make_flat_fns
+
+    _, trunk_fn, head_fn = make_flat_fns(model, cfg)
+    S = cfg.IMAGE_SIZE
+    fb = fb or min(cfg.EVAL.FRAMES_PER_BATCH,
+                   256 if model.spec.backbone_kind == "resnet" else 128)
+    needs_cls = model.spec.backbone_kind == "vit"
+    var_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+    blk_spec = jax.ShapeDtypeStruct((fb, S, S, 3), jnp.float32)
+    trunk = jexport.export(trunk_fn)(var_spec, blk_spec)
+    feat_spec, cls_spec = jax.eval_shape(trunk_fn, var_spec, blk_spec)
+
+    heads = {}
+    for nb in buckets:
+        fs = jax.ShapeDtypeStruct((nb,) + feat_spec.shape[1:],
+                                  feat_spec.dtype)
+        cs = (jax.ShapeDtypeStruct((nb,) + cls_spec.shape[1:],
+                                   cls_spec.dtype) if needs_cls else None)
+        mask = jax.ShapeDtypeStruct((1, 1, nb), jnp.float32)
+        tl = jax.ShapeDtypeStruct((), jnp.int32)
+        if needs_cls:
+            heads[nb] = jexport.export(head_fn)(var_spec, fs, cs, mask, tl)
+        else:
+            heads[nb] = jexport.export(jax.jit(
+                lambda v, f, m, t: head_fn(v, f, None, m, t)))(
+                var_spec, fs, mask, tl)
+    return {"trunk": trunk, "fb": fb}, heads, needs_cls
+
+
 def save_exported(exported, out_dir, cfg, height, width):
     os.makedirs(out_dir, exist_ok=True)
     entries = {}
@@ -90,6 +133,54 @@ def save_exported(exported, out_dir, cfg, height, width):
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def save_exported_flat(flat_trunk, flat_heads, needs_cls, out_dir):
+    """Append the flat-path artifacts + manifest section (run after
+    `save_exported`)."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+
+    def _write(name, exp):
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(blob)
+        return {"file": name, "sha256": hashlib.sha256(blob).hexdigest()}
+
+    fb = flat_trunk["fb"]
+    manifest["flat"] = {
+        "fb": fb,
+        "needs_cls": needs_cls,
+        "trunk": _write(f"flat_trunk_{fb}.stablehlo", flat_trunk["trunk"]),
+        "heads": {str(nb): _write(f"flat_head_{nb}.stablehlo", exp)
+                  for nb, exp in flat_heads.items()},
+        "input_signature": {
+            "trunk": "(variables, frames(FB,S,S,3)f32 augmented) -> "
+                     "(feats, cls)",
+            "head": "(variables, feats(Tb,...), [cls(Tb,D),] "
+                    "key_mask(1,1,Tb)f32, true_len i32) -> (1,Tb,E)f32",
+        },
+    }
+    with open(man_path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def load_exported_flat(out_dir):
+    """(trunk_call, {bucket: head_call}, fb, needs_cls) from a manifest
+    written by `save_exported_flat`."""
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        flat = json.load(f)["flat"]
+
+    def _load(ent):
+        with open(os.path.join(out_dir, ent["file"]), "rb") as f:
+            return jexport.deserialize(f.read()).call
+
+    heads = {int(nb): _load(ent) for nb, ent in flat["heads"].items()}
+    return _load(flat["trunk"]), heads, flat["fb"], flat["needs_cls"]
 
 
 def load_exported(out_dir):
@@ -120,6 +211,8 @@ def main():
                     help="comma list; default: power-of-two sweep 64..EVAL."
                          "FRAMES_PER_BATCH")
     ap.add_argument("--opts", nargs="*", default=[])
+    ap.add_argument("--no_flat", action="store_true",
+                    help="skip the flat-path (trunk/head) artifacts")
     args = ap.parse_args()
 
     from video_rep_learning_tpu.config import (apply_opts, get_cfg,
@@ -147,8 +240,15 @@ def main():
                                args.height, args.width, buckets)
     out_dir = args.out or os.path.join(args.logdir, "export")
     manifest = save_exported(exported, out_dir, cfg, args.height, args.width)
+    flat_ok = (trainer.model.spec.embedder_type == "transformer"
+               and int(cfg.DATA.NUM_CONTEXTS) == 1)
+    if flat_ok and not args.no_flat:
+        ft, fh, nc = export_flat_fns(trainer.model, cfg, trainer.variables,
+                                     buckets)
+        manifest = save_exported_flat(ft, fh, nc, out_dir)
     print(json.dumps({"out": out_dir,
-                      "buckets": sorted(int(k) for k in manifest["buckets"])}))
+                      "buckets": sorted(int(k) for k in manifest["buckets"]),
+                      "flat_fb": manifest.get("flat", {}).get("fb")}))
 
 
 if __name__ == "__main__":
