@@ -411,3 +411,34 @@ def test_embed_fn_memoization(synth_dir, tmp_path):
     finally:
         del _o.environ["VRL_TEST_MEMO_PROBE"]
     assert make_embed_fn(tr.model, cfg) is f1
+
+
+def test_bucketed_sweep_accepts_device_resident_video(synth_dir, tmp_path):
+    """The generic per-video path pads on device when handed a jax-array
+    video (bench staging; host numpy round-trips otherwise) — results must
+    match the numpy-item sweep exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_train import micro_cfg
+    from video_rep_learning_tpu.data.datasets import Pouring
+    from video_rep_learning_tpu.evaluation.embedding import \
+        iter_video_embeddings
+    from video_rep_learning_tpu.train import Trainer
+
+    logdir = str(tmp_path / "logs_dev")
+    os.makedirs(logdir)
+    cfg = micro_cfg(synth_dir, logdir)
+    cfg.EVAL.FRAMES_PER_BATCH = 16
+    tr = Trainer(cfg, no_eval=True)
+    tr.init_state()
+
+    ds = Pouring(cfg, "val", mode="eval", sample_all=True)
+    item = ds.get_eval_item(0)
+    base = list(iter_video_embeddings(cfg, tr.model, tr.variables, [item]))
+
+    staged = dict(item)
+    staged["video"] = jax.device_put(jnp.asarray(item["video"]))
+    dev = list(iter_video_embeddings(cfg, tr.model, tr.variables, [staged]))
+
+    np.testing.assert_array_equal(base[0]["embs"], dev[0]["embs"])
