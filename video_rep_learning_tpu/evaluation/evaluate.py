@@ -12,7 +12,7 @@ from typing import Dict
 
 from ..logging_utils import get_logger
 from . import get_tasks
-from .embedding import get_embeddings_dataset, make_embed_fn
+from .embedding import get_embeddings_dataset
 
 logger = get_logger(__name__)
 
@@ -21,7 +21,9 @@ def evaluate_once(cfg, model, variables, train_emb_loaders, val_emb_loaders,
                   iterator_tasks, embedding_tasks, cur_epoch,
                   summary_writer) -> Dict[str, Dict[str, float]]:
     metrics: Dict[str, Dict[str, float]] = {}
-    embed_fn = make_embed_fn(model, cfg)
+    # no pre-built embed_fn: iter_video_embeddings picks the best path per
+    # model (flat frame-packed extraction on TPU); builders are memoized so
+    # nothing recompiles across datasets/epochs
 
     if embedding_tasks:
         for i, dataset_name in enumerate(cfg.DATASETS):
@@ -29,11 +31,11 @@ def evaluate_once(cfg, model, variables, train_emb_loaders, val_emb_loaders,
             logger.info("generating train embeddings for %s dataset at %d.",
                         dataset_name, cur_epoch)
             dataset["train_dataset"] = get_embeddings_dataset(
-                cfg, model, variables, train_emb_loaders[i], embed_fn)
+                cfg, model, variables, train_emb_loaders[i])
             logger.info("generating val embeddings for %s dataset at %d.",
                         dataset_name, cur_epoch)
             dataset["val_dataset"] = get_embeddings_dataset(
-                cfg, model, variables, val_emb_loaders[i], embed_fn)
+                cfg, model, variables, val_emb_loaders[i])
 
             for task_name, task in embedding_tasks.items():
                 metrics.setdefault(task_name, {})

@@ -31,7 +31,6 @@ import optax
 from ..logging_utils import get_logger
 from ..parallel.collectives import all_gather_object, all_reduce_sum, synchronize
 from ..parallel.mesh import is_root_proc
-from .embedding import make_embed_fn
 
 logger = get_logger(__name__)
 
@@ -207,7 +206,6 @@ def evaluate_once(trainer, cur_epoch, summary_writer):
     """`evaluate_finegym.py:133-268`: dump embeddings (sharded), gather file
     lists, run the probe per fraction."""
     cfg = trainer.cfg
-    embed_fn = make_embed_fn(trainer.model, cfg)
     variables = trainer.variables
 
     lists = {}
@@ -228,8 +226,12 @@ def evaluate_once(trainer, cur_epoch, summary_writer):
         else:
             logger.info("generating %s embeddings for finegym at %s (epoch %d)",
                         split, output_dir, cur_epoch)
+            # embed_fn=None lets iter_video_embeddings pick the best path
+            # (flat frame-packed extraction on TPU); a pre-built embed_fn
+            # would pin the per-video bucketed sweep. The builders are
+            # memoized, so nothing recompiles across splits/epochs.
             files, _ = dump_embeddings_dataset(cfg, trainer.model, variables,
-                                              loader, output_dir, embed_fn)
+                                               loader, output_dir)
             files = [f for sub in all_gather_object(files) for f in sub]
         lists[split] = sorted(files)
 
