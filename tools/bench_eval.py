@@ -73,7 +73,8 @@ def _bench_packed(name, cfg, model, variables, bucket, iters):
     cfg.EVAL.PACK_VIDEOS = 1
 
 
-def _bench_ragged(name, cfg, model, variables, epochs, modes=None):
+def _bench_ragged(name, cfg, model, variables, epochs, modes=None,
+                  lengths=None):
     """USEFUL frames/s over a FineGym-like ragged length distribution —
     the number the eval sweep actually delivers, where bucket-pad compute
     is lost throughput (VERDICT r4 #3). Modes: pow-2 buckets (r4 default),
@@ -87,7 +88,7 @@ def _bench_ragged(name, cfg, model, variables, epochs, modes=None):
     from video_rep_learning_tpu.evaluation.embedding import \
         iter_video_embeddings
 
-    lengths = [65, 90, 118, 129, 151, 175, 198, 226, 240, 310]
+    lengths = lengths or [65, 90, 118, 129, 151, 175, 198, 226, 240, 310]
     raw = 128
     rng = np.random.RandomState(0)
     items = []
@@ -156,6 +157,9 @@ def main():
     ap.add_argument("--ragged-epochs", type=int, default=3)
     ap.add_argument("--ragged-modes", default=None,
                     help="comma list among pow2,ladder,flat (default: all)")
+    ap.add_argument("--ragged-lengths", default=None,
+                    help="comma list of video lengths (default: a FineGym-"
+                         "event-like 65..310 mix)")
     ap.add_argument("--family", choices=["carl", "mvf", "both"],
                     default="both")
     args = ap.parse_args()
@@ -209,7 +213,10 @@ def main():
         if args.ragged:
             _bench_ragged(name, cfg, model, variables, args.ragged_epochs,
                           modes=(args.ragged_modes.split(",")
-                                 if args.ragged_modes else None))
+                                 if args.ragged_modes else None),
+                          lengths=([int(x) for x in
+                                    args.ragged_lengths.split(",")]
+                                   if args.ragged_lengths else None))
 
 
 if __name__ == "__main__":
