@@ -253,8 +253,13 @@ def _iter_frameflat(cfg, model, variables, data_loader):
             mask[..., :ns] = 1.0
             out = head_fn(variables, cf, cc, jnp.asarray(mask),
                           jnp.asarray(ns, jnp.int32))
-            embs.append(np.asarray(out[0][:ns], np.float32))
-        return _record(item, np.concatenate(embs, axis=0))
+            embs.append(out[0][:ns])  # stays on device — D2H is deferred
+        return item, embs
+
+    def _materialize(dev_rec):
+        item, embs = dev_rec
+        return _record(item, np.concatenate(
+            [np.asarray(e, np.float32) for e in embs], axis=0))
 
     # pending videos in loader order: [item, [feat_chunks], [cls_chunks],
     # frames_remaining]; completed entries become None (yield cursor below)
@@ -297,16 +302,30 @@ def _iter_frameflat(cfg, model, variables, data_loader):
                 next_yield += 1
                 yield run_head(item, fc, cc)
 
-    for item in data_loader:
-        assert item["video"].shape[0] == int(item["seq_len"])
-        aug = aug_fn(jnp.asarray(item["video"]),
-                     jnp.asarray(item["dims"], jnp.float32))
-        pending.append([item, [], [], aug.shape[0]])
-        buf.append((aug, len(pending) - 1))
-        buf_frames += aug.shape[0]
-        yield from drain()
-    yield from drain(final=True)
-    assert next_yield == len(pending) and all(p is None for p in pending)
+    def _stream():
+        nonlocal buf_frames
+        for item in data_loader:
+            assert item["video"].shape[0] == int(item["seq_len"])
+            aug = aug_fn(jnp.asarray(item["video"]),
+                         jnp.asarray(item["dims"], jnp.float32))
+            pending.append([item, [], [], aug.shape[0]])
+            buf.append((aug, len(pending) - 1))
+            buf_frames += aug.shape[0]
+            yield from drain()
+        yield from drain(final=True)
+        assert next_yield == len(pending) and all(p is None for p in pending)
+
+    # one-record holdback: a completed video's embeddings stay on device
+    # until the NEXT video's head has been enqueued, so the embedding D2H
+    # (and the consumer's pickling) overlaps the device's work on the
+    # following video instead of stalling the dispatch queue
+    prev = None
+    for rec in _stream():
+        if prev is not None:
+            yield _materialize(prev)
+        prev = rec
+    if prev is not None:
+        yield _materialize(prev)
 
 
 def _iter_packed(cfg, model, variables, data_loader, pack: int):
