@@ -417,6 +417,12 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
         return
     embed_fn = embed_fn or make_embed_fn(model, cfg)
 
+    def _materialize(dev_rec):
+        item, embs = dev_rec
+        return _record(item, np.concatenate(
+            [np.asarray(e, np.float32) for e in embs], axis=0))
+
+    prev = None  # one-record D2H holdback (see _iter_frameflat)
     for item in data_loader:
         video = item["video"]  # (T', H, W, 3) uint8, native resolution
         seq_len = int(item["seq_len"])
@@ -455,8 +461,12 @@ def iter_video_embeddings(cfg, model, variables, data_loader, embed_fn=None):
             out = embed_fn(variables, jnp.asarray(chunk[None]),
                            jnp.asarray(item["dims"]), jnp.asarray(mask),
                            jnp.asarray(true_len, jnp.int32))
-            embs.append(np.asarray(out[0][:num_steps], np.float32))
-        yield _record(item, np.concatenate(embs, axis=0))
+            embs.append(out[0][:num_steps])  # device; D2H deferred
+        if prev is not None:
+            yield _materialize(prev)
+        prev = (item, embs)
+    if prev is not None:
+        yield _materialize(prev)
 
 
 def get_embeddings_dataset(cfg, model, variables, data_loader,

@@ -162,17 +162,24 @@ def train_linear_probe(cfg, train_files, val_files, fraction, cur_epoch,
             xp[: len(x)] = x
             yp = np.zeros(nb, np.int32)
             yp[: len(y)] = y
-            yield jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask)
+            # valid count rides as a host float so the accumulation loops
+            # never read a device value mid-epoch
+            yield (jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask),
+                   float(mask.sum()))
 
     train_accuracy = accuracy = 0.0
     for e in range(total_e):
         lr = lr0 * (1 + math.cos(math.pi * e / (1.0 * total_e))) / 2
-        correct = total = 0.0
-        for x, y, mask in batches(train_files, shuffle=True, epoch=e,
-                                  drop_last=True):
+        # device-side accumulation: a float(c) per batch would stall the
+        # dispatch queue on a D2H read every 10 videos (same lesson as the
+        # extraction holdback) — read once per epoch instead
+        correct_d, total = None, 0.0
+        for x, y, mask, nvalid in batches(train_files, shuffle=True, epoch=e,
+                                          drop_last=True):
             params, opt_state, c = probe_step(params, opt_state, x, y, mask, lr)
-            correct += float(c)
-            total += float(mask.sum())
+            correct_d = c if correct_d is None else correct_d + c
+            total += nvalid
+        correct = float(correct_d) if correct_d is not None else 0.0
         correct = all_reduce_sum(correct)
         total = all_reduce_sum(total)
         train_accuracy = 100 * correct / max(total, 1)
@@ -180,11 +187,13 @@ def train_linear_probe(cfg, train_files, val_files, fraction, cur_epoch,
             logger.info("[%d/%d] classification_%s train set: %.3f%% (%d/%d)",
                         e, total_e, fraction, train_accuracy, correct, total)
 
-        correct = total = 0.0
-        for x, y, mask in batches(val_files, shuffle=False, epoch=0,
-                                  drop_last=False):
-            correct += float(eval_correct(params, x, y, mask))
-            total += float(mask.sum())
+        correct_d, total = None, 0.0
+        for x, y, mask, nvalid in batches(val_files, shuffle=False, epoch=0,
+                                          drop_last=False):
+            c = eval_correct(params, x, y, mask)
+            correct_d = c if correct_d is None else correct_d + c
+            total += nvalid
+        correct = float(correct_d) if correct_d is not None else 0.0
         correct = all_reduce_sum(correct)
         total = all_reduce_sum(total)
         accuracy = 100 * correct / max(total, 1)
