@@ -465,12 +465,14 @@ class Trainer:
         data_size = len(self.val_loader)
         total_loss: Dict[str, float] = {}
         last_videos = last_names = None
+        loss_dicts = []  # stay on device; one device_get after the loop
         for cur_iter, batch in enumerate(self.val_loader):
             dev_batch = self._device_batch(batch)
             loss_dict, videos = self._val_step(self.state, dev_batch,
                                                self._base_key, cur_iter)
-            loss_dict = jax.device_get(loss_dict)
+            loss_dicts.append(loss_dict)
             last_videos, last_names = videos, batch.get("names")
+        for loss_dict in jax.device_get(loss_dicts):
             for k, v in loss_dict.items():
                 total_loss[k] = total_loss.get(k, 0.0) + float(v) / data_size
         self._log_val_video_panels(last_videos, last_names)
