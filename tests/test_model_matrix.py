@@ -199,3 +199,32 @@ def test_s2d_stem_matches_direct_conv(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(mod.apply(params, xo)),
         np.asarray(jax.jit(mod.apply)(params, xo)), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_flat_split_matches_full_forward(name):
+    """backbone_flat + head_embs must reproduce the full __call__ forward for
+    EVERY head variant — the invariant the TPU-default flat extraction
+    (`evaluation/embedding._iter_frameflat`) rests on. Guards against a head
+    option that __call__ wires but head_embs misses."""
+    cfg = base_cfg()
+    for k, v in CASES[name].items():
+        cfg.set_path(k, v)
+    model = build_model(cfg)
+    T = cfg.TRAIN.NUM_FRAMES
+    S = cfg.IMAGE_SIZE
+    x = jnp.asarray(np.random.RandomState(3).rand(1, T, S, S, 3), jnp.float32)
+    masks = jnp.ones((1, 1, T), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x, T, video_masks=masks, project=False)
+    full = model.apply(variables, x, T, video_masks=masks, project=False,
+                       train=False, true_seq_len=jnp.int32(T))
+
+    feats, cls = model.apply(variables, x.reshape(T, S, S, 3),
+                             method="backbone_flat")
+    flat = model.apply(variables, feats[None], cls, video_masks=masks,
+                       project=False, train=False,
+                       true_seq_len=jnp.int32(T), method="head_embs")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(flat),
+                               atol=2e-6)
