@@ -228,3 +228,35 @@ def test_flat_split_matches_full_forward(name):
                        true_seq_len=jnp.int32(T), method="head_embs")
     np.testing.assert_allclose(np.asarray(full), np.asarray(flat),
                                atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["rn_smart_lstp", "rn_late"])
+def test_flat_split_matches_full_forward_resnet(name):
+    """Same flat-split invariant through the ResNet trunk (needs_cls=False
+    branch): the ablate_rn50_lstp* family shape and the released-checkpoint
+    late-fusion shape."""
+    cfg = base_cfg()
+    cfg.MODEL.BASE_MODEL.NETWORK = "resnet18_tiny_test"
+    cfg.MODEL.BASE_MODEL.LAYER = 3
+    if name == "rn_smart_lstp":
+        cfg.MODEL.EMBEDDER_MODEL.FUSION_TYPE = "smart"
+        cfg.MODEL.EMBEDDER_MODEL.SMART_FINAL = "one"
+        cfg.MODEL.EMBEDDER_MODEL.SMART_ONE_HOT = "pool"
+        cfg.MODEL.EMBEDDER_MODEL.SMART_TOKENS = 1
+    model = build_model(cfg)
+    T = cfg.TRAIN.NUM_FRAMES
+    S = cfg.IMAGE_SIZE
+    x = jnp.asarray(np.random.RandomState(5).rand(1, T, S, S, 3), jnp.float32)
+    masks = jnp.ones((1, 1, T), jnp.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           x, T, video_masks=masks, project=False)
+    full = model.apply(variables, x, T, video_masks=masks, project=False,
+                       train=False, true_seq_len=jnp.int32(T))
+    feats, cls = model.apply(variables, x.reshape(T, S, S, 3),
+                             method="backbone_flat")
+    assert cls is None
+    flat = model.apply(variables, feats[None], cls, video_masks=masks,
+                       project=False, train=False,
+                       true_seq_len=jnp.int32(T), method="head_embs")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(flat), atol=2e-6)
